@@ -1,0 +1,117 @@
+"""Sanity tests of the NumPy oracle itself (blend + focus map).
+
+The oracle is the ground truth for the fast paths, so these tests pin its
+behavior with self-evident cases rather than comparing against other code.
+"""
+
+import numpy as np
+
+from lfinterpolator_tpu.core import geometry
+from lfinterpolator_tpu.ops import reference as oracle
+
+
+def test_blend_fixed_zero_shift_identity_weight(rng):
+    # One view with weight 1 on image 0 and 0 elsewhere returns image 0.
+    images = rng.integers(0, 256, size=(4, 8, 10, 4), dtype=np.uint8)
+    weights = np.zeros((2, 4), dtype=np.float16)
+    weights[0, 0] = 1.0
+    weights[1, 2] = 1.0
+    offs = np.zeros((4, 2), dtype=np.int32)
+    out = oracle.blend_fixed(images, weights, offs)
+    np.testing.assert_array_equal(out[0], images[0, :, :, :3])
+    np.testing.assert_array_equal(out[1], images[2, :, :, :3])
+
+
+def test_blend_fixed_shift_clamps_at_edges(rng):
+    images = rng.integers(0, 256, size=(1, 6, 6, 4), dtype=np.uint8)
+    weights = np.ones((1, 1), dtype=np.float16)
+    # shift dx=+2: output x reads source x+2, clamped to the last column
+    offs = np.array([[2, 0]], dtype=np.int32)
+    out = oracle.blend_fixed(images, weights, offs)
+    np.testing.assert_array_equal(out[0, :, :4], images[0, :, 2:6, :3])
+    np.testing.assert_array_equal(out[0, :, 4], images[0, :, 5, :3])
+    np.testing.assert_array_equal(out[0, :, 5], images[0, :, 5, :3])
+
+
+def test_blend_fixed_uniform_weights_average(rng):
+    images = np.stack(
+        [np.full((4, 4, 4), 10, np.uint8), np.full((4, 4, 4), 20, np.uint8)]
+    )
+    weights = np.full((1, 2), 0.5, dtype=np.float16)
+    out = oracle.blend_fixed(images, weights, np.zeros((2, 2), np.int32))
+    np.testing.assert_array_equal(out, np.full((1, 4, 4, 3), 15, np.uint8))
+
+
+def test_blend_rounding_half_to_even():
+    # acc = 0.5 exactly -> rounds to 0 (half-to-even, __float2int_rn)
+    images = np.stack([np.full((2, 2, 4), 1, np.uint8), np.full((2, 2, 4), 0, np.uint8)])
+    weights = np.array([[0.5, 0.5]], dtype=np.float16)
+    out = oracle.blend_fixed(images, weights, np.zeros((2, 2), np.int32))
+    np.testing.assert_array_equal(out, np.zeros((1, 2, 2, 3), np.uint8))
+    # acc = 1.5 exactly -> rounds to 2
+    images = np.stack([np.full((2, 2, 4), 3, np.uint8), np.full((2, 2, 4), 0, np.uint8)])
+    out = oracle.blend_fixed(images, weights, np.zeros((2, 2), np.int32))
+    np.testing.assert_array_equal(out, np.full((1, 2, 2, 3), 2, np.uint8))
+
+
+def test_blend_allfocus_zero_range_matches_fixed(rng):
+    # With a zero focus map and focus=f, the per-pixel path reduces to
+    # int(coord + f*offset) vs the fixed path's round(offset*f): compare with
+    # integer offsets where trunc == round.
+    images = rng.integers(0, 256, size=(4, 12, 16, 4), dtype=np.uint8)
+    weights = geometry.quantize_weights_f16(
+        geometry.weight_matrix(np.array([0.0, 0.0, 3.0, 3.0]), 2, 2, 3.0, 4)
+    )
+    offsets = np.array([[2.0, 1.0], [-2.0, 1.0], [2.0, -1.0], [-2.0, -1.0]], np.float32)
+    fmap = np.zeros((12, 16), dtype=np.uint8)
+    out_pp = oracle.blend_allfocus(images, weights, offsets, fmap, 1.0, 0.5)
+    out_fx = oracle.blend_fixed(images, weights, geometry.focused_offsets(offsets, 1.0))
+    np.testing.assert_array_equal(out_pp, out_fx)
+
+
+def test_focus_map_finds_planar_disparity(small_lf):
+    """The focal stack sweep should recover the texture plane's disparity."""
+    images, (cols, rows) = small_lf
+    h, w = images.shape[1:3]
+    start_end = np.array([0.0, 0.0, 3.0, 3.0], dtype=np.float32)
+    center = geometry.trajectory_center(start_end)
+    offsets = geometry.compute_offsets(cols, rows, w, h, 1.0, center)
+    ids = geometry.select_focus_views(start_end, cols, rows, 8)
+    radius = (2, 2)
+
+    # The texture plane in small_lf shifts by 2px per grid step; cameras are
+    # offset by (w,h)/colsRows = (16,12)px per unit focus... compute the focus
+    # value that aligns the views and check the search selects candidates near it.
+    # For camera (c,r): content shift is (2c, 2r); alignment needs
+    # focus*offset_x(c) = -(2c - 2*center_col)... instead of solving exactly,
+    # verify the estimated map is nearly constant (planar scene => constant map).
+    fmap = oracle.focus_map_estimate(
+        images, offsets, ids, 0.0, 1.0, radius, steps=16
+    )
+    assert fmap.shape == (h, w)
+    # Interior should be highly concentrated around one focus level.
+    interior = fmap[8:-8, 8:-8]
+    mode_count = np.bincount(interior.ravel()).max()
+    assert mode_count / interior.size > 0.5
+
+
+def test_focus_map_filter_constant_invariant():
+    m = np.full((20, 30), 77, dtype=np.uint8)
+    out = oracle.focus_map_filter(m, (2, 2))
+    np.testing.assert_array_equal(out, m)
+
+
+def test_focus_map_filter_zero_radius_copies():
+    m = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    np.testing.assert_array_equal(oracle.focus_map_filter(m, (0, 0)), m)
+
+
+def test_focus_map_filter_window_is_asymmetric():
+    # Window [c-r, c+r) with r=1 -> taps at offsets {-1, 0} per axis.
+    m = np.zeros((4, 4), dtype=np.uint8)
+    m[2, 2] = 100
+    out = oracle.focus_map_filter(m, (1, 1))
+    # Pixels whose {-1,0}^2 window contains (2,2): (2,2),(3,2),(2,3),(3,3)
+    expected = np.zeros((4, 4), dtype=np.uint8)
+    expected[2:4, 2:4] = 25
+    np.testing.assert_array_equal(out, expected)
