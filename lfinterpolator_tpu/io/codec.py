@@ -1,0 +1,129 @@
+"""Image decode/encode.
+
+The reference vendors stb_image / stb_image_write (reference:
+src/lfLoader.cpp:36, src/interpolator.cu:313). Here the codec is pluggable:
+
+  1. a native C++ codec (libpng + libjpeg via ctypes, built from native/) when
+     available -- the fast path for bulk dataset ingest,
+  2. Pillow as the portable fallback.
+
+Decoded images are always RGBA8 (channels forced to 4, matching
+STBI_rgb_alpha at src/lfLoader.cpp:35-39).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+
+import numpy as np
+
+_native_lock = threading.Lock()
+_native_lib = None
+_native_checked = False
+
+
+def _native_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "liblfi_codec.so",
+    )
+
+
+def _load_native():
+    """Load the native codec shared library if it has been built."""
+    global _native_lib, _native_checked
+    with _native_lock:
+        if _native_checked:
+            return _native_lib
+        _native_checked = True
+        path = os.environ.get("LFI_CODEC_LIB", _native_path())
+        if not os.path.exists(path):
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+            lib.lfi_decode_png_rgba.restype = ctypes.c_int
+            lib.lfi_decode_png_rgba.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ]
+            lib.lfi_encode_png_rgba.restype = ctypes.c_int
+            lib.lfi_encode_png_rgba.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
+            lib.lfi_free.restype = None
+            lib.lfi_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+            _native_lib = lib
+        except OSError:
+            _native_lib = None
+        return _native_lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+def decode(path: str) -> np.ndarray:
+    """Decode an image file to an RGBA8 array [H, W, 4]."""
+    lib = _load_native()
+    if lib is not None and path.lower().endswith(".png"):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        buf = ctypes.POINTER(ctypes.c_ubyte)()
+        rc = lib.lfi_decode_png_rgba(
+            path.encode(), ctypes.byref(w), ctypes.byref(h), ctypes.byref(buf)
+        )
+        if rc == 0:
+            try:
+                n = w.value * h.value * 4
+                arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+                return arr.reshape(h.value, w.value, 4)
+            finally:
+                lib.lfi_free(buf)
+        # fall through to Pillow on native decode failure
+    return _decode_pil(path)
+
+
+def _decode_pil(path: str) -> np.ndarray:
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "No image codec available: build the native codec (make -C native) "
+            "or install Pillow."
+        ) from e
+    try:
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGBA"), dtype=np.uint8)
+    except Exception as e:
+        raise RuntimeError(f"Cannot load image {path}") from e
+
+
+def encode_png(path: str, image: np.ndarray) -> None:
+    """Encode an RGB(A)8 array to a PNG file."""
+    image = np.ascontiguousarray(image)
+    if image.dtype != np.uint8 or image.ndim != 3 or image.shape[2] not in (1, 3, 4):
+        raise ValueError(f"encode_png expects uint8 HxWx{{1,3,4}}, got {image.shape}")
+    lib = _load_native()
+    if lib is not None and image.shape[2] == 4:
+        h, w = image.shape[:2]
+        ptr = image.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        if lib.lfi_encode_png_rgba(path.encode(), w, h, 4, ptr) == 0:
+            return
+        # fall through to Pillow on native encode failure
+    _encode_pil(path, image)
+
+
+def _encode_pil(path: str, image: np.ndarray) -> None:
+    from PIL import Image
+
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[image.shape[2]]
+    Image.fromarray(image.squeeze(-1) if mode == "L" else image, mode=mode).save(path)

@@ -1,0 +1,68 @@
+"""Result writer: novel views, focus maps, quilts.
+
+Equivalent of the reference's storeResults (reference:
+src/interpolator.cu:299-316): views are written as 00.png ... NN.png and the
+focus maps as map0.png / map1.png. Quilt assembly mirrors
+scripts/viewsToQuilt.sh (5x9 tile montage).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..utils.progress import LoadingBar
+from . import codec
+
+
+def _with_alpha(img: np.ndarray) -> np.ndarray:
+    """[H, W, 3] -> [H, W, 4] with alpha 255 (outputs always have alpha=255,
+    reference: src/kernels.cu:308)."""
+    if img.shape[-1] == 4:
+        return img
+    h, w = img.shape[:2]
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, :3] = img
+    out[:, :, 3] = 255
+    return out
+
+
+def write_views(
+    path: str,
+    views: np.ndarray,  # [V, H, W, 3|4] uint8
+    maps: np.ndarray | None = None,  # [2, H, W] uint8
+    *,
+    progress: bool = True,
+) -> list[str]:
+    """Write views as zero-padded numbered PNGs plus optional focus maps."""
+    os.makedirs(path, exist_ok=True)
+    v_count = views.shape[0]
+    total = v_count + (maps.shape[0] if maps is not None else 0)
+    bar = LoadingBar(total, "Storing results...", enabled=progress)
+    written = []
+    digits = max(2, len(str(v_count - 1)))
+    for i in range(v_count):
+        name = os.path.join(path, f"{i:0{digits}d}.png")
+        codec.encode_png(name, _with_alpha(views[i]))
+        written.append(name)
+        bar.add()
+    if maps is not None:
+        for i in range(maps.shape[0]):
+            name = os.path.join(path, f"map{i}.png")
+            m = maps[i]
+            rgba = np.empty((*m.shape, 4), dtype=np.uint8)
+            rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = m
+            rgba[:, :, 3] = 255
+            codec.encode_png(name, rgba)
+            written.append(name)
+            bar.add()
+    bar.finish()
+    return written
+
+
+def write_quilt(path: str, quilt: np.ndarray) -> str:
+    """Write an assembled quilt image (see ops.quilt.assemble_quilt)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    codec.encode_png(path, _with_alpha(quilt))
+    return path

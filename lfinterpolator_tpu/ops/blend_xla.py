@@ -1,0 +1,147 @@
+"""Pure-XLA blend paths (the "STD" method).
+
+TPU-first re-design of the reference's Standard::process kernel (reference:
+src/kernels.cu:312-342). Instead of per-thread pixel loops, the multi-view
+blend is one contraction on the MXU:
+
+    views[v, c, h, w] = sum_g weights[v, g] * shifted[g, c, h, w]
+
+and the per-image clamped shift (the CUDA kernel gets it for free via
+cudaBoundaryModeClamp surface reads, src/kernels.cu:119-126) becomes pure data
+movement: an edge-replicating pad followed by a dynamic_slice, which XLA
+lowers to copies -- no gathers in the fixed-focus path. Shift amounts are
+traced values, so changing focus/trajectory does NOT trigger recompilation.
+
+Image layout is planar ``[G, C, H, W]`` uint8 (W on the TPU lane dimension).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def to_planar(images: jnp.ndarray, channels: int = 3) -> jnp.ndarray:
+    """[G, H, W, C>=channels] -> [G, channels, H, W]."""
+    return jnp.transpose(images[..., :channels], (0, 3, 1, 2))
+
+
+def from_planar(views: jnp.ndarray) -> jnp.ndarray:
+    """[V, C, H, W] -> [V, H, W, C]."""
+    return jnp.transpose(views, (0, 2, 3, 1))
+
+
+def shift_axis_clamped(
+    x: jnp.ndarray, shift: jnp.ndarray, axis: int, pad: int = 0
+) -> jnp.ndarray:
+    """out[..., q, ...] = x[..., clip(q + shift, 0, n-1), ...] for q in [-pad, n+pad).
+
+    `shift` may be a traced scalar. Implemented as edge-replicating pad +
+    dynamic_slice (pure data movement; no gather). Shifts beyond +-n are
+    semantically identical to +-n under the clamp, so they are clipped first.
+    """
+    n = x.shape[axis]
+    shift = jnp.clip(shift, -n, n)
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    rep = n + pad
+    padded = jnp.concatenate(
+        [jnp.repeat(first, rep, axis), x, jnp.repeat(last, rep, axis)], axis=axis
+    )
+    starts = [jnp.int32(0)] * x.ndim
+    starts[axis] = (n + shift).astype(jnp.int32)
+    sizes = list(x.shape)
+    sizes[axis] = n + 2 * pad
+    return lax.dynamic_slice(padded, starts, sizes)
+
+
+def shift_clamped(
+    image: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray, pad_y: int = 0, pad_x: int = 0
+) -> jnp.ndarray:
+    """Clamped 2-D shift of one planar image [C, H, W].
+
+    Returns [C, H + 2*pad_y, W + 2*pad_x] where output pixel (q_y, q_x) --
+    indexed from (-pad_y, -pad_x) -- reads image[clip(q_y+dy), clip(q_x+dx)].
+    """
+    out = shift_axis_clamped(image, dy, axis=1, pad=pad_y)
+    return shift_axis_clamped(out, dx, axis=2, pad=pad_x)
+
+
+def shift_stack(images: jnp.ndarray, offsets_xy: jnp.ndarray) -> jnp.ndarray:
+    """Shift every image of a stack [G, C, H, W] by its (dx, dy) int offsets."""
+    return jax.vmap(lambda img, o: shift_clamped(img, o[1], o[0]))(images, offsets_xy)
+
+
+def blend(
+    shifted: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+) -> jnp.ndarray:
+    """MXU contraction over the grid dimension -> [V, C, H, W] uint8.
+
+    float32 accumulation and round-half-to-even output conversion match the
+    reference STD kernel (src/kernels.cu:292-310).
+    """
+    g, c, h, w = shifted.shape
+    flat = shifted.reshape(g, c * h * w).astype(jnp.float32)
+    acc = jnp.einsum(
+        "vg,gp->vp", weights, flat, precision=lax.Precision.HIGHEST
+    )
+    out = jnp.clip(jnp.round(acc), 0, 255).astype(jnp.uint8)
+    return out.reshape(weights.shape[0], c, h, w)
+
+
+def render_fixed(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32 (pre-quantized if parity is wanted)
+    focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy)
+) -> jnp.ndarray:
+    """Fixed-focus render: shift + blend (Standard::process<false>)."""
+    return blend(shift_stack(images, focused_offsets), weights)
+
+
+def focus_values_from_map(
+    focus_map: jnp.ndarray, focus: jnp.ndarray, focus_range: jnp.ndarray
+) -> jnp.ndarray:
+    """uint8 map -> per-pixel focus (loadFocusFromMap, src/kernels.cu:134-137)."""
+    return (
+        focus.astype(jnp.float32)
+        + focus_map.astype(jnp.float32) / jnp.float32(255) * focus_range.astype(jnp.float32)
+    )
+
+
+def render_allfocus(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    focus_map: jnp.ndarray,  # [H, W] uint8
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-pixel-focus render (Standard::process<true>, src/kernels.cu:312-342).
+
+    Source coordinates are int(coord + focusValue*offset) with C
+    truncation-toward-zero (src/kernels.cu:78-82), clamped. This general path
+    handles arbitrary focus maps (the filtered map has arbitrary byte values)
+    and is exact; it uses one gather per image.
+    """
+    g, c, h, w = images.shape
+    fv = focus_values_from_map(focus_map, focus, focus_range)  # [H, W]
+    yy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def one(img, off):
+        cx = jnp.clip(jnp.trunc(xx + fv * off[0]).astype(jnp.int32), 0, w - 1)
+        cy = jnp.clip(jnp.trunc(yy + fv * off[1]).astype(jnp.int32), 0, h - 1)
+        flat_idx = (cy * w + cx).reshape(-1)  # [H*W]
+        return jnp.take(img.reshape(c, h * w), flat_idx, axis=1)  # [C, H*W]
+
+    shifted = jax.vmap(one)(images, offsets)  # [G, C, H*W]
+    acc = jnp.einsum(
+        "vg,gp->vp",
+        weights,
+        shifted.reshape(g, c * h * w).astype(jnp.float32),
+        precision=lax.Precision.HIGHEST,
+    )
+    out = jnp.clip(jnp.round(acc), 0, 255).astype(jnp.uint8)
+    return out.reshape(weights.shape[0], c, h, w)

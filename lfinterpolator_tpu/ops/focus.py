@@ -1,0 +1,122 @@
+"""Focus-map estimation and filtering, TPU-style.
+
+The reference estimates a per-pixel focus (disparity) by looping 32 focus
+candidates x 32 views x 9 stencil taps per pixel (~9.2K clamped surface reads
+per output pixel, reference: src/kernels.cu:164-258). That per-pixel loop nest
+is hostile to TPUs; here it is restructured as a **focal-stack sweep**:
+
+  for each candidate f (lax.scan):
+    1. shift the K selected views by their per-view constant offset
+       floor(f * offset) onto a radius-padded domain (pure data movement),
+    2. reduce elementwise min/max over views (uint8-exact, one pass),
+    3. Chebyshev color range per pixel, then sum the 9 stencil taps as 9
+       static slices of that range map (integer-exact),
+    4. running argmin over candidates.
+
+This computes each source pixel once per (candidate, view) instead of 9x, and
+every step is vectorized over the whole image.
+
+Numerics: identical to the oracle except at image borders -- the oracle's
+per-pixel C truncation int(x + f*offset) equals x + floor(f*offset) whenever
+x + f*offset >= 0, i.e. everywhere except pixels pushed past the left/top
+edge, where both versions clamp to nearly the same texels. Integer cost
+accumulation is exact (values < 2^24, so the oracle's float32 sums are also
+exact integers).
+
+The box filter (reference: src/kernels.cu:260-280) becomes an integral-image
+(2-pass cumsum) window sum -- bit-exact vs the oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .blend_xla import shift_clamped
+
+
+def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+@partial(jax.jit, static_argnames=("radius", "steps"))
+def estimate_focus_map(
+    selected: jnp.ndarray,  # [K, C, H, W] uint8 (the focus views, pre-gathered)
+    sel_offsets: jnp.ndarray,  # [K, 2] float32 (x, y) offsets of those views
+    focus: jnp.ndarray,  # scalar f32
+    focus_range: jnp.ndarray,  # scalar f32
+    radius: tuple[int, int],  # (rx, ry) static
+    steps: int = 32,
+) -> jnp.ndarray:
+    """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
+
+    Returns [H, W] uint8: round((best_focus - focus)/range * 255).
+    """
+    k, c, h, w = selected.shape
+    rx, ry = int(radius[0]), int(radius[1])
+    focus = jnp.asarray(focus, jnp.float32)
+    focus_range = jnp.asarray(focus_range, jnp.float32)
+    step = focus_range / jnp.float32(steps - 1)
+    candidates = focus + step * jnp.arange(steps, dtype=jnp.float32)  # [steps]
+    # Per-candidate, per-view constant integer shifts: floor(f * offset).
+    dx = jnp.floor(candidates[:, None] * sel_offsets[None, :, 0]).astype(jnp.int32)
+    dy = jnp.floor(candidates[:, None] * sel_offsets[None, :, 1]).astype(jnp.int32)
+
+    stencil = [(sx, sy) for sx in (-rx, 0, rx) for sy in (-ry, 0, ry)]
+
+    def one_candidate(carry, inputs):
+        best_cost, best_idx, i = carry
+        dxi, dyi = inputs  # [K], [K]
+        shifted = jax.vmap(
+            lambda img, sy, sx: shift_clamped(img, sy, sx, pad_y=ry, pad_x=rx)
+        )(selected, dyi, dxi)  # [K, C, H+2ry, W+2rx] uint8
+        mn = jnp.min(shifted, axis=0)
+        mx = jnp.max(shifted, axis=0)
+        cheby = jnp.max(mx - mn, axis=0).astype(jnp.int32)  # [H+2ry, W+2rx]
+        cost = jnp.zeros((h, w), jnp.int32)
+        for sx, sy in stencil:
+            cost = cost + lax.dynamic_slice(
+                cheby, (ry + sy, rx + sx), (h, w)
+            )
+        better = cost < best_cost  # strict: first minimum wins, like MinDispersion
+        best_cost = jnp.where(better, cost, best_cost)
+        best_idx = jnp.where(better, i, best_idx)
+        return (best_cost, best_idx, i + 1), None
+
+    init = (
+        jnp.full((h, w), jnp.iinfo(jnp.int32).max, jnp.int32),
+        jnp.zeros((h, w), jnp.int32),
+        jnp.int32(0),
+    )
+    (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, (dx, dy))
+
+    best_focus = focus + step * best_idx.astype(jnp.float32)
+    normalized = (best_focus - focus) / focus_range
+    return round_half_away(normalized * jnp.float32(255)).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def filter_focus_map(focus_map: jnp.ndarray, radius: tuple[int, int]) -> jnp.ndarray:
+    """Box filter via integral image (FocusMap::filter, src/kernels.cu:260-280).
+
+    Window x in [cx-rx, cx+rx), y in [cy-ry, cy+ry), clamped taps, average
+    rounded half away from zero. Bit-exact vs the oracle. Radius 0 copies.
+    """
+    rx, ry = int(radius[0]), int(radius[1])
+    if rx == 0 or ry == 0:
+        return focus_map
+    h, w = focus_map.shape
+    padded = jnp.pad(focus_map, ((ry, ry), (rx, rx)), mode="edge").astype(jnp.int32)
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(padded, axis=0), axis=1), ((1, 0), (1, 0)))
+    # window sum for pixel (y, x) covers padded[y : y+2ry, x : x+2rx]
+    s = (
+        ii[2 * ry : 2 * ry + h, 2 * rx : 2 * rx + w]
+        - ii[0:h, 2 * rx : 2 * rx + w]
+        - ii[2 * ry : 2 * ry + h, 0:w]
+        + ii[0:h, 0:w]
+    )
+    avg = s.astype(jnp.float32) / jnp.float32(4 * rx * ry)
+    return round_half_away(avg).astype(jnp.uint8)

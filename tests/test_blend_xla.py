@@ -1,0 +1,128 @@
+"""Golden tests: pure-XLA blend paths vs the NumPy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lfinterpolator_tpu.core import geometry
+from lfinterpolator_tpu.ops import blend_xla, reference as oracle
+
+
+def _setup(rng, cols=3, rows=3, h=24, w=32, v=8, effect=3.0):
+    g = cols * rows
+    images = rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8)
+    start_end = np.array([0.0, 0.0, cols - 1.0, rows - 1.0], dtype=np.float32)
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(start_end, cols, rows, effect, v)
+    )
+    center = geometry.trajectory_center(start_end)
+    offsets = geometry.compute_offsets(cols, rows, w, h, 1.0, center)
+    return images, wm, offsets
+
+
+def test_shift_axis_clamped_matches_numpy(rng):
+    x = rng.integers(0, 256, size=(2, 6, 9), dtype=np.uint8)
+    for shift in [-20, -6, -3, 0, 2, 5, 9, 30]:
+        got = np.asarray(blend_xla.shift_axis_clamped(jnp.asarray(x), shift, axis=2))
+        idx = np.clip(np.arange(9) + shift, 0, 8)
+        np.testing.assert_array_equal(got, x[:, :, idx], err_msg=f"shift={shift}")
+
+
+def test_shift_axis_clamped_with_padding(rng):
+    x = rng.integers(0, 256, size=(1, 4, 7), dtype=np.uint8)
+    pad = 3
+    got = np.asarray(
+        blend_xla.shift_axis_clamped(jnp.asarray(x), 2, axis=2, pad=pad)
+    )
+    assert got.shape == (1, 4, 7 + 2 * pad)
+    idx = np.clip(np.arange(-pad, 7 + pad) + 2, 0, 6)
+    np.testing.assert_array_equal(got, x[:, :, idx])
+
+
+def test_render_fixed_matches_oracle(rng):
+    images, wm, offsets = _setup(rng)
+    for focus in [0.0, 0.37, -0.5, 1.2]:
+        fo = geometry.focused_offsets(offsets, focus)
+        want = oracle.blend_fixed(images, wm, fo)
+        got = blend_xla.render_fixed(
+            blend_xla.to_planar(jnp.asarray(images)),
+            jnp.asarray(wm.astype(np.float32)),
+            jnp.asarray(fo),
+        )
+        got = np.asarray(blend_xla.from_planar(got))
+        # float32 accumulation order differs (sequential vs MXU tree) so values
+        # on exact rounding boundaries may differ by 1 LSB.
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, f"focus={focus}: max diff {diff.max()}"
+        assert (diff > 0).mean() < 0.01, f"focus={focus}: mismatch rate too high"
+
+
+def test_render_fixed_large_shift_clamps(rng):
+    # Shifts larger than the image must behave like full clamp (edge colors).
+    images, wm, offsets = _setup(rng, h=16, w=20)
+    fo = geometry.focused_offsets(offsets, 50.0)  # enormous shifts
+    want = oracle.blend_fixed(images, wm, fo)
+    got = np.asarray(
+        blend_xla.from_planar(
+            blend_xla.render_fixed(
+                blend_xla.to_planar(jnp.asarray(images)),
+                jnp.asarray(wm.astype(np.float32)),
+                jnp.asarray(fo),
+            )
+        )
+    )
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+
+
+def test_render_allfocus_matches_oracle(rng):
+    images, wm, offsets = _setup(rng)
+    h, w = images.shape[1:3]
+    fmap = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    focus, frange = 0.05, 0.4
+    want = oracle.blend_allfocus(images, wm, offsets, fmap, focus, frange)
+    got = np.asarray(
+        blend_xla.from_planar(
+            blend_xla.render_allfocus(
+                blend_xla.to_planar(jnp.asarray(images)),
+                jnp.asarray(wm.astype(np.float32)),
+                jnp.asarray(offsets),
+                jnp.asarray(fmap),
+                jnp.float32(focus),
+                jnp.float32(frange),
+            )
+        )
+    )
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_render_allfocus_negative_focus_truncation(rng):
+    # Negative focus exercises the trunc-toward-zero (not floor) semantics.
+    images, wm, offsets = _setup(rng, cols=2, rows=2, h=12, w=12, v=4)
+    h, w = images.shape[1:3]
+    fmap = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    focus, frange = -0.6, 0.3
+    want = oracle.blend_allfocus(images, wm, offsets, fmap, focus, frange)
+    got = np.asarray(
+        blend_xla.from_planar(
+            blend_xla.render_allfocus(
+                blend_xla.to_planar(jnp.asarray(images)),
+                jnp.asarray(wm.astype(np.float32)),
+                jnp.asarray(offsets),
+                jnp.asarray(fmap),
+                jnp.float32(focus),
+                jnp.float32(frange),
+            )
+        )
+    )
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+
+
+def test_planar_roundtrip(rng):
+    images = rng.integers(0, 256, size=(3, 5, 7, 4), dtype=np.uint8)
+    p = blend_xla.to_planar(jnp.asarray(images))
+    assert p.shape == (3, 3, 5, 7)
+    back = np.asarray(blend_xla.from_planar(p))
+    np.testing.assert_array_equal(back, images[..., :3])

@@ -1,0 +1,93 @@
+"""Golden tests: focal-stack focus estimation + filter vs the NumPy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lfinterpolator_tpu.core import geometry
+from lfinterpolator_tpu.ops import blend_xla, focus, reference as oracle
+
+
+def _focus_setup(small_lf, start_end):
+    images, (cols, rows) = small_lf
+    h, w = images.shape[1:3]
+    center = geometry.trajectory_center(start_end)
+    offsets = geometry.compute_offsets(cols, rows, w, h, 1.0, center)
+    ids = geometry.select_focus_views(start_end, cols, rows, 8)
+    return images, offsets, ids
+
+
+def test_estimate_matches_oracle_nonnegative_shifts(small_lf):
+    """With focus >= 0 and the center at the grid max corner, all offsets are
+    >= 0, so floor == trunc everywhere and the fast path must match the
+    oracle exactly."""
+    start_end = np.array([3.0, 3.0, 3.0, 3.0], dtype=np.float32)
+    images, offsets, ids = _focus_setup(small_lf, start_end)
+    assert (offsets[ids] >= 0).all()
+    radius, steps = (2, 2), 8
+    fconf = (0.0, 0.5)
+
+    want = oracle.focus_map_estimate(
+        images, offsets, ids, fconf[0], fconf[1], radius, steps=steps
+    )
+    sel = blend_xla.to_planar(jnp.asarray(images))[jnp.asarray(ids)]
+    got = np.asarray(
+        focus.estimate_focus_map(
+            sel,
+            jnp.asarray(offsets[ids]),
+            jnp.float32(fconf[0]),
+            jnp.float32(fconf[1]),
+            radius,
+            steps=steps,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_estimate_matches_oracle_interior_mixed_shifts(small_lf):
+    """With a centered trajectory, offsets have both signs; the fast path may
+    differ from the oracle only in a border band."""
+    start_end = np.array([0.0, 0.0, 3.0, 3.0], dtype=np.float32)
+    images, offsets, ids = _focus_setup(small_lf, start_end)
+    radius, steps = (2, 2), 8
+    fconf = (0.0, 0.5)
+
+    want = oracle.focus_map_estimate(
+        images, offsets, ids, fconf[0], fconf[1], radius, steps=steps
+    )
+    sel = blend_xla.to_planar(jnp.asarray(images))[jnp.asarray(ids)]
+    got = np.asarray(
+        focus.estimate_focus_map(
+            sel,
+            jnp.asarray(offsets[ids]),
+            jnp.float32(fconf[0]),
+            jnp.float32(fconf[1]),
+            radius,
+            steps=steps,
+        )
+    )
+    h, w = want.shape
+    # Border band where per-pixel truncation can deviate from constant shifts:
+    # max shift magnitude + stencil radius.
+    b = 12
+    np.testing.assert_array_equal(got[b : h - b, b : w - b], want[b : h - b, b : w - b])
+    assert (got == want).mean() > 0.9
+
+
+def test_filter_matches_oracle_exactly(rng):
+    m = rng.integers(0, 256, size=(30, 44), dtype=np.uint8)
+    for radius in [(1, 1), (2, 1), (3, 4)]:
+        want = oracle.focus_map_filter(m, radius)
+        got = np.asarray(focus.filter_focus_map(jnp.asarray(m), radius))
+        np.testing.assert_array_equal(got, want, err_msg=f"radius={radius}")
+
+
+def test_filter_zero_radius_copies(rng):
+    m = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    got = np.asarray(focus.filter_focus_map(jnp.asarray(m), (0, 2)))
+    np.testing.assert_array_equal(got, m)
+
+
+def test_round_half_away_jnp():
+    x = jnp.array([0.5, 1.5, 2.5, -0.5, -1.5, 126.5, 127.5])
+    got = np.asarray(focus.round_half_away(x))
+    np.testing.assert_array_equal(got, [1, 2, 3, -1, -2, 127, 128])
