@@ -7,6 +7,16 @@ as MXU matmuls), with optional per-pixel focus-map estimation for all-in-focus
 rendering.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: repeated CLI invocations with the same
+# shapes skip the (slow) TPU compile. Opt out with LFI_NO_COMPILE_CACHE=1.
+if not _os.environ.get("LFI_NO_COMPILE_CACHE"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "lfinterpolator_tpu"),
+    )
+
 from .core.config import RenderConfig
 
 __version__ = "0.1.0"

@@ -1,0 +1,261 @@
+"""High-level API: the Interpolator (reference: src/interpolator.h:5-37).
+
+Owns the device-resident light field and runs the render pipeline:
+
+    interp = Interpolator("/data/scene")            # load + upload once
+    result = interp.interpolate(trajectory="0,0,1,1", method="TEN", focus=0.2)
+    result.save("out/")                             # 00.png..63.png (+maps)
+
+Unlike the reference (which re-uploads constants per run and always times 100
+kernel repetitions, src/interpolator.cu:248-297), uploads happen once at
+construction, renders are jit-cached across calls with different
+trajectories/focus values, and benchmarking is opt-in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import geometry
+from .core.config import RenderConfig
+from .io import writer
+from .io.loader import LightField, load_light_field
+from .models import pipeline
+from .ops import blend_pallas, blend_xla, quilt as quilt_ops
+
+
+@dataclasses.dataclass
+class RenderResult:
+    """Output of one interpolate() call."""
+
+    views: np.ndarray  # [V, H, W, 3] uint8
+    maps: np.ndarray | None  # [2, H, W] uint8 (when focus_range > 0)
+    run_times_s: list[float]  # per timed repetition (empty if not benchmarked)
+    config: RenderConfig
+
+    @property
+    def avg_ms(self) -> float | None:
+        if not self.run_times_s:
+            return None
+        return 1000.0 * sum(self.run_times_s) / len(self.run_times_s)
+
+    @property
+    def megapixels_per_s(self) -> float | None:
+        """Output-pixel throughput of the render step."""
+        if not self.run_times_s:
+            return None
+        v, h, w = self.views.shape[:3]
+        avg = sum(self.run_times_s) / len(self.run_times_s)
+        return v * h * w / avg / 1e6
+
+    def save(self, path: str, *, progress: bool = True) -> list[str]:
+        return writer.write_views(path, self.views, self.maps, progress=progress)
+
+    def save_quilt(self, path: str, cols: int = 5, rows: int = 9,
+                   tile_size: tuple[int, int] | None = None) -> str:
+        q = quilt_ops.assemble_quilt(
+            jnp.asarray(np.transpose(self.views, (0, 3, 1, 2))),
+            cols=cols, rows=rows, tile_size=tile_size,
+        )
+        return writer.write_quilt(path, np.asarray(quilt_ops.to_hwc(q)))
+
+
+class Interpolator:
+    """Load a light field once; render novel-view sets many times."""
+
+    def __init__(
+        self,
+        source: str | LightField,
+        *,
+        config: RenderConfig | None = None,
+        progress: bool = True,
+    ):
+        self.config = config or RenderConfig()
+        self.lf = (
+            source if isinstance(source, LightField) else load_light_field(
+                source, progress=progress
+            )
+        )
+        if progress:
+            print(
+                f"Loaded {self.lf.cols}x{self.lf.rows} grid of "
+                f"{self.lf.width}x{self.lf.height} images"
+            )
+        # One host->device upload of the planar RGB stack (the analogue of
+        # loadGPUData, src/interpolator.cu:95-137).
+        self.images = jax.device_put(
+            blend_xla.to_planar(jnp.asarray(self.lf.images))
+        )
+        self._padded_cache: tuple[tuple[int, int], jnp.ndarray] | None = None
+
+    # -- device data ------------------------------------------------------
+
+    def _padded(self, tile_h: int, tile_w: int) -> jnp.ndarray:
+        """Tile-padded stack for the Pallas kernel, built once per tile size."""
+        key = (tile_h, tile_w)
+        if self._padded_cache is None or self._padded_cache[0] != key:
+            padded = jax.jit(
+                blend_pallas.pad_images, static_argnums=(1, 2)
+            )(self.images, tile_h, tile_w)
+            self._padded_cache = (key, jax.block_until_ready(padded))
+        return self._padded_cache[1]
+
+    # -- rendering --------------------------------------------------------
+
+    def interpolate(
+        self,
+        trajectory: str,
+        *,
+        focus: float = 0.0,
+        focus_range: float = 0.0,
+        method: str | None = None,
+        effect: float | None = None,
+        aspect: float | None = None,
+        benchmark_runs: int = 0,
+        progress: bool = True,
+    ) -> RenderResult:
+        """Synthesize the novel-view set for one trajectory.
+
+        Mirrors Interpolator::interpolate (src/interpolator.cu:248-297);
+        `benchmark_runs > 0` additionally times that many repetitions of the
+        render step (the reference always times 100).
+        """
+        cfg = dataclasses.replace(
+            self.config,
+            focus=focus,
+            focus_range=focus_range,
+            method=(method or self.config.method),
+            effect=(effect if effect is not None else self.config.effect),
+            aspect=(aspect if aspect is not None else self.config.aspect),
+        )
+        cfg.validate()
+        method_key = "TEN" if cfg.method in ("TEN", "TEN_WM") else "STD"
+
+        lf = self.lf
+        start_end = geometry.parse_trajectory(trajectory, lf.cols_rows)
+        center = geometry.trajectory_center(start_end)
+        wm = geometry.weight_matrix(
+            start_end, lf.cols, lf.rows, cfg.effect, cfg.view_count
+        )
+        # fp16 weight quantization for parity with the reference
+        # (src/interpolator.cu:217-219); accumulation stays float32.
+        wm = geometry.quantize_weights_f16(wm).astype(np.float32)
+        offsets = geometry.compute_offsets(
+            lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
+        )
+        weights = jnp.asarray(wm)
+        offsets_j = jnp.asarray(offsets)
+
+        if cfg.uses_focus_map:
+            radius = geometry.block_radius(
+                lf.width, lf.height, cfg.pixel_size_factor
+            )
+            filter_radius = (
+                radius[0] // cfg.filter_radius_divisor,
+                radius[1] // cfg.filter_radius_divisor,
+            )
+            ids = geometry.select_focus_views(
+                start_end, lf.cols, lf.rows, cfg.focus_map_views
+            )
+            if progress:
+                print("Estimating focus map...")
+
+            def step():
+                return pipeline.render_all_focus(
+                    self.images,
+                    weights,
+                    offsets_j,
+                    jnp.float32(cfg.focus),
+                    jnp.float32(cfg.focus_range),
+                    jnp.asarray(ids),
+                    method=method_key,
+                    radius=radius,
+                    filter_radius=filter_radius,
+                    steps=cfg.focus_steps,
+                )
+
+            views, maps = step()
+            run = step
+        else:
+            fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
+            if method_key == "TEN" and blend_pallas.is_available():
+                tile_h, tile_w = blend_pallas.default_tile(
+                    lf.grid_size, lf.width
+                )
+                padded = self._padded(tile_h, tile_w)
+                weights2 = blend_pallas.split_weights(weights)
+
+                def step():
+                    return blend_pallas.render_fixed_padded(
+                        padded, weights2, fo,
+                        h=lf.height, w=lf.width,
+                        tile_h=tile_h, tile_w=tile_w,
+                    )
+            else:
+
+                def step():
+                    return pipeline.render_fixed_focus(
+                        self.images, weights, fo, method=method_key
+                    )
+
+            views = step()
+            maps = None
+            run = step
+
+        views = jax.block_until_ready(views)
+
+        run_times: list[float] = []
+        if benchmark_runs > 0:
+            if progress:
+                print("Rendering views...")
+            for _ in range(benchmark_runs):
+                t0 = time.perf_counter()
+                out = run()
+                jax.block_until_ready(out)
+                run_times.append(time.perf_counter() - t0)
+            if progress:
+                avg = 1000 * sum(run_times) / len(run_times)
+                print(
+                    f"Average time of {benchmark_runs} runs: {avg:.3f} ms"
+                )
+
+        views_np = np.asarray(blend_xla.from_planar(views))
+        maps_np = np.asarray(maps) if maps is not None else None
+        return RenderResult(
+            views=views_np, maps=maps_np, run_times_s=run_times, config=cfg
+        )
+
+
+def interpolate(
+    input_path: str,
+    output_path: str,
+    trajectory: str,
+    *,
+    focus: float = 0.0,
+    focus_range: float = 0.0,
+    method: str = "STD",
+    effect: float = 3.0,
+    aspect: float = 1.0,
+    benchmark_runs: int = 0,
+    progress: bool = True,
+) -> RenderResult:
+    """One-shot convenience wrapper matching the reference CLI's behavior."""
+    interp = Interpolator(
+        input_path,
+        config=RenderConfig(method=method, effect=effect, aspect=aspect),
+        progress=progress,
+    )
+    result = interp.interpolate(
+        trajectory,
+        focus=focus,
+        focus_range=focus_range,
+        benchmark_runs=benchmark_runs,
+        progress=progress,
+    )
+    result.save(output_path, progress=progress)
+    return result

@@ -1,0 +1,78 @@
+"""The render pipeline: focus estimation + multi-view blend, jitted end to end.
+
+This is the device-side equivalent of the reference's Interpolator::interpolate
+orchestration (reference: src/interpolator.cu:248-297): optional focus-map
+estimate + filter, then the blend kernel, in one jit so XLA fuses across
+stages. Method dispatch mirrors the reference:
+
+  * "STD"    -> pure-XLA blend (shift via pad+slice, blend via one einsum);
+                per-pixel focus reads the FILTERED map (src/kernels.cu:326)
+  * "TEN"    -> fused Pallas MXU kernel (the tensor-core path's equivalent,
+                src/kernels.cu:398-461); per-pixel focus reads the RAW map
+                (src/kernels.cu:430). Falls back to the XLA blend off-TPU.
+
+Everything that changes per interpolate() call (trajectory, focus, weights,
+offsets) is a traced argument -- switching them does not recompile. Only
+shapes, method, and the use of the focus path are static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import blend_xla, focus as focus_ops
+from ..ops import blend_pallas
+
+
+def _blend_fixed(images, weights, focused_offsets, method):
+    if method == "TEN" and blend_pallas.is_available():
+        return blend_pallas.render_fixed(images, weights, focused_offsets)
+    return blend_xla.render_fixed(images, weights, focused_offsets)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def render_fixed_focus(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+    focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy)
+    *,
+    method: str = "STD",
+) -> jnp.ndarray:
+    """Fixed-focus render -> [V, C, H, W] uint8."""
+    return _blend_fixed(images, weights, focused_offsets, method)
+
+
+@partial(jax.jit, static_argnames=("method", "radius", "filter_radius", "steps"))
+def render_all_focus(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    focus: jnp.ndarray,  # scalar f32
+    focus_range: jnp.ndarray,  # scalar f32
+    focus_ids: jnp.ndarray,  # [K] int32
+    *,
+    method: str = "STD",
+    radius: tuple[int, int] = (2, 2),
+    filter_radius: tuple[int, int] = (0, 0),
+    steps: int = 32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All-in-focus render: estimate -> filter -> per-pixel blend.
+
+    Returns (views [V, C, H, W] uint8, maps [2, H, W] uint8).
+    """
+    selected = images[focus_ids]  # [K, C, H, W]
+    sel_offsets = offsets[focus_ids]
+    map0 = focus_ops.estimate_focus_map(
+        selected, sel_offsets, focus, focus_range, radius, steps=steps
+    )
+    map1 = focus_ops.filter_focus_map(map0, filter_radius)
+    # Map asymmetry preserved from the reference: STD blends with the filtered
+    # map, the tensor path with the raw one (src/kernels.cu:326 vs :430).
+    blend_map = map1 if method == "STD" else map0
+    views = blend_xla.render_allfocus(
+        images, weights, offsets, blend_map, focus, focus_range
+    )
+    return views, jnp.stack([map0, map1])

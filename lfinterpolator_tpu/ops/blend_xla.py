@@ -33,16 +33,26 @@ def from_planar(views: jnp.ndarray) -> jnp.ndarray:
 
 
 def shift_axis_clamped(
-    x: jnp.ndarray, shift: jnp.ndarray, axis: int, pad: int = 0
+    x: jnp.ndarray,
+    shift: jnp.ndarray,
+    axis: int,
+    pad: int = 0,
+    start: jnp.ndarray | int = 0,
+    size: int | None = None,
 ) -> jnp.ndarray:
-    """out[..., q, ...] = x[..., clip(q + shift, 0, n-1), ...] for q in [-pad, n+pad).
+    """out[..., q, ...] = x[..., clip(start + q + shift, 0, n-1), ...]
+    for q in [-pad, size+pad).
 
-    `shift` may be a traced scalar. Implemented as edge-replicating pad +
-    dynamic_slice (pure data movement; no gather). Shifts beyond +-n are
-    semantically identical to +-n under the clamp, so they are clipped first.
+    `shift` and `start` may be traced scalars; `start`/`size` select an output
+    window (used by spatially-sharded rendering, where each shard produces its
+    own row block). Implemented as edge-replicating pad + dynamic_slice (pure
+    data movement; no gather). Shifts beyond +-n are semantically identical to
+    +-n under the clamp, so they are clipped first.
     """
     n = x.shape[axis]
-    shift = jnp.clip(shift, -n, n)
+    if size is None:
+        size = n
+    shift = jnp.clip(shift, -n, n) + jnp.asarray(start, jnp.int32)
     first = lax.slice_in_dim(x, 0, 1, axis=axis)
     last = lax.slice_in_dim(x, n - 1, n, axis=axis)
     rep = n + pad
@@ -52,7 +62,7 @@ def shift_axis_clamped(
     starts = [jnp.int32(0)] * x.ndim
     starts[axis] = (n + shift).astype(jnp.int32)
     sizes = list(x.shape)
-    sizes[axis] = n + 2 * pad
+    sizes[axis] = size + 2 * pad
     return lax.dynamic_slice(padded, starts, sizes)
 
 

@@ -1,0 +1,97 @@
+"""Multi-chip rendering: shard_map over a (view, space) device mesh.
+
+The reference is strictly single-GPU (SURVEY.md section 2.5); multi-chip
+scaling is new capability, designed TPU-first rather than ported:
+
+  * the problem is pixel- and view-parallel, so the natural mesh is 2-D:
+    - "view"  axis: the [V, G] weight matrix (and the output view dim) is
+      sharded like a tensor-parallel layer;
+    - "space" axis: output rows are sharded; each shard renders only its row
+      block by folding the block offset into the clamped-shift dynamic_slice
+      (no halo exchange -- the image stack is replicated, so the hot loop has
+      ZERO inter-chip communication; ICI is used only for the initial
+      broadcast of inputs).
+  * outputs stay sharded; gather them only at the host boundary.
+
+Throughput therefore scales linearly in chips for the blend (each chip does
+V/nv x H/ns of the work).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import blend_xla
+
+
+def make_mesh(
+    devices: list | None = None, view_parallel: int | None = None
+) -> Mesh:
+    """Build a (view, space) mesh over the given (default: all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if view_parallel is None:
+        # Prefer splitting views (weight rows) 2-way when possible; rows take
+        # the rest. Views come in 64s, rows in thousands.
+        view_parallel = 2 if n % 2 == 0 and n > 1 else 1
+    if n % view_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by view_parallel={view_parallel}")
+    arr = np.array(devices).reshape(view_parallel, n // view_parallel)
+    return Mesh(arr, axis_names=("view", "space"))
+
+
+def shard_inputs(
+    mesh: Mesh,
+    images: jnp.ndarray,  # [G, C, H, W]
+    weights: jnp.ndarray,  # [V, G]
+):
+    """Place the stack (replicated) and weights (view-sharded) on the mesh."""
+    images = jax.device_put(images, NamedSharding(mesh, P()))
+    weights = jax.device_put(weights, NamedSharding(mesh, P("view", None)))
+    return images, weights
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def render_fixed_sharded(
+    mesh: Mesh,
+    images: jnp.ndarray,  # [G, C, H, W] uint8, replicated
+    weights: jnp.ndarray,  # [V, G] float32, sharded over "view"
+    focused_offsets: jnp.ndarray,  # [G, 2] int32, replicated
+) -> jnp.ndarray:
+    """Fixed-focus render sharded over (views x rows) -> [V, C, H, W] uint8,
+    output sharded P('view', None, 'space', None)."""
+    g, c, h, w = images.shape
+    n_space = mesh.shape["space"]
+    if h % n_space != 0:
+        raise ValueError(f"H={h} must divide by the space axis ({n_space})")
+    h_local = h // n_space
+
+    def local_render(images_l, weights_l, offs_l):
+        row0 = jax.lax.axis_index("space") * h_local
+
+        def shift_one(img, o):
+            out = blend_xla.shift_axis_clamped(
+                img, o[1], axis=1, start=row0, size=h_local
+            )
+            return blend_xla.shift_axis_clamped(out, o[0], axis=2)
+
+        shifted = jax.vmap(shift_one)(images_l, offs_l)  # [G, C, h_local, W]
+        return blend_xla.blend(shifted, weights_l)
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P("view", None), P()),
+        out_specs=P("view", None, "space", None),
+    )(images, weights, focused_offsets)
+
+
+def gather_views(views: jnp.ndarray) -> np.ndarray:
+    """Fetch a (possibly sharded) view stack to the host as [V, H, W, C]."""
+    return np.asarray(blend_xla.from_planar(jax.device_get(views)))

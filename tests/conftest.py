@@ -7,7 +7,9 @@ imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the surrounding environment may preset JAX_PLATFORMS (e.g. a TPU
+# tunnel); tests must be hermetic and run on virtual CPU devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# The environment's sitecustomize may force-register a TPU tunnel backend
+# regardless of JAX_PLATFORMS; pin the platform through the config API too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,150 @@
+"""End-to-end tests: loader -> Interpolator -> writer -> CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lfinterpolator_tpu import cli
+from lfinterpolator_tpu.api import Interpolator, interpolate
+from lfinterpolator_tpu.core.config import RenderConfig
+from lfinterpolator_tpu.io import codec, loader
+from lfinterpolator_tpu.ops import reference as oracle
+from lfinterpolator_tpu.core import geometry
+
+
+@pytest.fixture
+def scene_dir(tmp_path, small_lf):
+    images, (cols, rows) = small_lf
+    d = tmp_path / "scene"
+    d.mkdir()
+    for c in range(cols):
+        for r in range(rows):
+            codec.encode_png(str(d / f"{c:02d}_{r:02d}.png"), images[c * rows + r])
+    return str(d), images, (cols, rows)
+
+
+def test_loader_roundtrip(scene_dir):
+    d, images, (cols, rows) = scene_dir
+    lf = loader.load_light_field(d, progress=False)
+    assert (lf.cols, lf.rows) == (cols, rows)
+    np.testing.assert_array_equal(lf.images, images)
+
+
+def test_loader_missing_dir():
+    with pytest.raises(FileNotFoundError):
+        loader.load_light_field("/nonexistent/path", progress=False)
+
+
+def test_loader_bad_filename(tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "notagrid.png").write_bytes(b"x")
+    with pytest.raises(ValueError, match="not named properly"):
+        loader.load_light_field(str(d), progress=False)
+
+
+def test_loader_empty_dir(tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(ValueError, match="empty"):
+        loader.load_light_field(str(d), progress=False)
+
+
+def test_loader_incomplete_grid(tmp_path, rng):
+    d = tmp_path / "holes"
+    d.mkdir()
+    img = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    for name in ["00_00.png", "00_01.png", "01_00.png"]:  # missing 01_01
+        codec.encode_png(str(d / name), img)
+    with pytest.raises(ValueError, match="missing images"):
+        loader.load_light_field(str(d), progress=False)
+
+
+def test_interpolator_fixed_focus_matches_oracle(scene_dir):
+    d, images, (cols, rows) = scene_dir
+    interp = Interpolator(d, config=RenderConfig(view_count=8), progress=False)
+    result = interp.interpolate("0.0,0.0,1.0,1.0", focus=0.25, progress=False)
+    assert result.views.shape == (8, images.shape[1], images.shape[2], 3)
+    assert result.maps is None
+
+    se = geometry.parse_trajectory("0.0,0.0,1.0,1.0", (cols, rows))
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, 8)
+    )
+    offsets = geometry.compute_offsets(
+        cols, rows, images.shape[2], images.shape[1], 1.0,
+        geometry.trajectory_center(se),
+    )
+    want = oracle.blend_fixed(images, wm, geometry.focused_offsets(offsets, 0.25))
+    diff = np.abs(result.views.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+
+
+def test_interpolator_allfocus_produces_maps(scene_dir):
+    d, images, _ = scene_dir
+    interp = Interpolator(
+        d, config=RenderConfig(view_count=4, focus_map_views=8, focus_steps=8),
+        progress=False,
+    )
+    result = interp.interpolate(
+        "0.0,0.0,1.0,1.0", focus=0.0, focus_range=0.5, progress=False
+    )
+    assert result.maps is not None
+    assert result.maps.shape == (2, images.shape[1], images.shape[2])
+
+
+def test_interpolator_single_position_views_identical(scene_dir):
+    # start == end -> all views identical (the reference renders 64 copies)
+    d, _, _ = scene_dir
+    interp = Interpolator(d, config=RenderConfig(view_count=4), progress=False)
+    result = interp.interpolate("0.5,0.5,0.5,0.5", progress=False)
+    for v in range(1, 4):
+        np.testing.assert_array_equal(result.views[v], result.views[0])
+
+
+def test_interpolator_rejects_unknown_method(scene_dir):
+    d, _, _ = scene_dir
+    interp = Interpolator(d, progress=False)
+    with pytest.raises(ValueError, match="does not exist"):
+        interp.interpolate("0,0,1,1", method="WHAT", progress=False)
+
+
+def test_one_shot_interpolate_writes_outputs(scene_dir, tmp_path):
+    d, _, _ = scene_dir
+    out = str(tmp_path / "out")
+    res = interpolate(d, out, "0.0,0.0,1.0,1.0", progress=False)
+    files = sorted(os.listdir(out))
+    assert len(files) == res.views.shape[0]
+    assert files[0] == "00.png"
+    back = codec.decode(os.path.join(out, "00.png"))
+    np.testing.assert_array_equal(back[:, :, :3], res.views[0])
+    assert (back[:, :, 3] == 255).all()
+
+
+def test_cli_help():
+    assert cli.main(["-h"]) == 0
+
+
+def test_cli_missing_required(capsys):
+    assert cli.main(["-i", "/tmp"]) == 1
+    assert "Missing required parameters" in capsys.readouterr().err
+
+
+def test_cli_end_to_end(scene_dir, tmp_path, capsys):
+    d, _, _ = scene_dir
+    out = str(tmp_path / "cli_out")
+    rc = cli.main(
+        ["-i", d, "-o", out, "-t", "0.0,0.0,1.0,1.0", "-m", "STD",
+         "-f", "0.2", "--json", "--no-progress"]
+    )
+    assert rc == 0
+    assert "00.png" in os.listdir(out)
+    assert '"views": 64' in capsys.readouterr().out
+
+
+def test_cli_bad_input_path(tmp_path, capsys):
+    rc = cli.main(
+        ["-i", "/nonexistent", "-o", str(tmp_path), "-t", "0,0,1,1", "-m", "STD"]
+    )
+    assert rc == 1

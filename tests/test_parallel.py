@@ -1,0 +1,89 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lfinterpolator_tpu.core import geometry
+from lfinterpolator_tpu.ops import blend_xla, reference as oracle
+from lfinterpolator_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices (see conftest XLA_FLAGS)")
+    return d
+
+
+def _setup(seed=7, cols=2, rows=2, h=32, w=64, v=8):
+    rng = np.random.default_rng(seed)
+    g = cols * rows
+    images = rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8)
+    se = np.array([0.0, 0.0, cols - 1.0, rows - 1.0], np.float32)
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    fo = geometry.focused_offsets(offsets, 0.4)
+    return images, wm, fo
+
+
+def test_mesh_shapes(devices):
+    m = pmesh.make_mesh(devices)
+    assert m.shape["view"] * m.shape["space"] == 8
+    m1 = pmesh.make_mesh(devices, view_parallel=4)
+    assert m1.shape == {"view": 4, "space": 2}
+
+
+def test_sharded_render_matches_oracle(devices):
+    images, wm, fo = _setup()
+    m = pmesh.make_mesh(devices, view_parallel=2)
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    imgs_d, w_d = pmesh.shard_inputs(m, planar, jnp.asarray(wm))
+    out = pmesh.render_fixed_sharded(m, imgs_d, w_d, jnp.asarray(fo))
+    got = pmesh.gather_views(out)
+    want = oracle.blend_fixed(images, wm.astype(np.float16), fo)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+
+
+def test_sharded_render_output_sharding(devices):
+    images, wm, fo = _setup()
+    m = pmesh.make_mesh(devices, view_parallel=2)
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    imgs_d, w_d = pmesh.shard_inputs(m, planar, jnp.asarray(wm))
+    out = pmesh.render_fixed_sharded(m, imgs_d, w_d, jnp.asarray(fo))
+    # Output must actually be sharded over (view, space), not replicated.
+    sharding = out.sharding
+    spec = sharding.spec
+    assert spec[0] == "view" and spec[2] == "space"
+
+
+def test_sharded_matches_all_view_parallel_factors(devices):
+    images, wm, fo = _setup(v=16)
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    ref = None
+    for vp in (1, 2, 4, 8):
+        m = pmesh.make_mesh(devices, view_parallel=vp)
+        imgs_d, w_d = pmesh.shard_inputs(m, planar, jnp.asarray(wm))
+        got = pmesh.gather_views(
+            pmesh.render_fixed_sharded(m, imgs_d, w_d, jnp.asarray(fo))
+        )
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_array_equal(got, ref, err_msg=f"vp={vp}")
+
+
+def test_sharded_rejects_bad_row_split(devices):
+    images, wm, fo = _setup(h=30)  # 30 rows not divisible by 4 shards
+    m = pmesh.make_mesh(devices, view_parallel=2)
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    imgs_d, w_d = pmesh.shard_inputs(m, planar, jnp.asarray(wm))
+    with pytest.raises(ValueError, match="must divide"):
+        pmesh.render_fixed_sharded(m, imgs_d, w_d, jnp.asarray(fo))

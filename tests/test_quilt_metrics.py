@@ -1,0 +1,57 @@
+"""Tests for on-device quilt assembly and quality metrics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lfinterpolator_tpu.ops import quilt
+from lfinterpolator_tpu.utils import metrics
+
+
+def test_quilt_tile_order_row_major(rng):
+    v, c, h, w = 45, 3, 4, 6
+    views = rng.integers(0, 256, size=(v, c, h, w), dtype=np.uint8)
+    q = np.asarray(quilt.assemble_quilt(jnp.asarray(views), cols=5, rows=9))
+    assert q.shape == (3, 9 * h, 5 * w)
+    # view k sits at row k//5, col k%5 (montage order)
+    for k in [0, 4, 5, 44]:
+        r, cidx = divmod(k, 5)
+        np.testing.assert_array_equal(
+            q[:, r * h : (r + 1) * h, cidx * w : (cidx + 1) * w], views[k]
+        )
+
+
+def test_quilt_resize(rng):
+    views = rng.integers(0, 256, size=(45, 3, 8, 8), dtype=np.uint8)
+    q = np.asarray(
+        quilt.assemble_quilt(jnp.asarray(views), cols=5, rows=9, tile_size=(4, 4))
+    )
+    assert q.shape == (3, 36, 20)
+
+
+def test_quilt_too_few_views(rng):
+    views = rng.integers(0, 256, size=(10, 3, 4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="needs 45"):
+        quilt.assemble_quilt(jnp.asarray(views), cols=5, rows=9)
+
+
+def test_psnr_identical_and_known(rng):
+    a = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert metrics.psnr(a, a) == float("inf")
+    b = a.astype(np.int32).copy()
+    b = np.clip(b + 1, 0, 255)  # off-by-one everywhere -> MSE ~1
+    p = metrics.psnr(a, b.astype(np.uint8))
+    assert 47.0 < p < 48.5  # 10*log10(255^2/1) = 48.13, minus clip effects
+
+
+def test_ssim_bounds(rng):
+    a = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert metrics.ssim(a, a) == pytest.approx(1.0)
+    noise = rng.integers(0, 256, size=a.shape, dtype=np.uint8)
+    assert metrics.ssim(a, noise) < 0.2
+
+
+def test_metrics_shape_mismatch(rng):
+    a = np.zeros((4, 4)), np.zeros((5, 5))
+    with pytest.raises(ValueError):
+        metrics.psnr(*a)
