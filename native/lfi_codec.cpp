@@ -1,0 +1,145 @@
+// Native image codec for bulk light-field ingest.
+//
+// Role-equivalent of the reference's vendored stb_image / stb_image_write
+// (reference: src/lfLoader.cpp:36, src/interpolator.cu:313), built fresh on
+// libpng. Exposed through a tiny C ABI consumed via ctypes
+// (lfinterpolator_tpu/io/codec.py). Decode always yields RGBA8, matching the
+// loader contract (STBI_rgb_alpha semantics).
+
+#include <png.h>
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+
+extern "C" {
+
+// Decode a PNG file to RGBA8. Returns 0 on success; *out receives a malloc'd
+// buffer of width*height*4 bytes (caller frees with lfi_free).
+int lfi_decode_png_rgba(const char *path, int *width, int *height,
+                        unsigned char **out) {
+    *out = nullptr;
+    FILE *fp = std::fopen(path, "rb");
+    if (!fp) return 1;
+
+    png_byte header[8];
+    if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+        std::fclose(fp);
+        return 2;
+    }
+
+    png_structp png =
+        png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    if (!png) {
+        std::fclose(fp);
+        return 3;
+    }
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, nullptr, nullptr);
+        std::fclose(fp);
+        return 3;
+    }
+
+    unsigned char *buf = nullptr;
+    png_bytep *rows = nullptr;
+    if (setjmp(png_jmpbuf(png))) {  // libpng error handling
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        std::free(buf);
+        std::free(rows);
+        return 4;
+    }
+
+    png_init_io(png, fp);
+    png_set_sig_bytes(png, 8);
+    png_read_info(png, info);
+
+    const png_uint_32 w = png_get_image_width(png, info);
+    const png_uint_32 h = png_get_image_height(png, info);
+    const int color_type = png_get_color_type(png, info);
+    const int bit_depth = png_get_bit_depth(png, info);
+
+    // Normalize every input to 8-bit RGBA.
+    if (bit_depth == 16) png_set_strip_16(png);
+    if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+        png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_GRAY ||
+        color_type == PNG_COLOR_TYPE_PALETTE)
+        png_set_filler(png, 0xFF, PNG_FILLER_AFTER);
+    if (color_type == PNG_COLOR_TYPE_GRAY ||
+        color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+        png_set_gray_to_rgb(png);
+    png_read_update_info(png, info);
+
+    buf = static_cast<unsigned char *>(std::malloc((size_t)w * h * 4));
+    rows = static_cast<png_bytep *>(std::malloc(sizeof(png_bytep) * h));
+    if (!buf || !rows) longjmp(png_jmpbuf(png), 1);
+    for (png_uint_32 y = 0; y < h; y++) rows[y] = buf + (size_t)y * w * 4;
+    png_read_image(png, rows);
+    png_read_end(png, nullptr);
+
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    std::free(rows);
+    *width = (int)w;
+    *height = (int)h;
+    *out = buf;
+    return 0;
+}
+
+// Encode an RGBA8 (channels must be 4) buffer to a PNG file. Returns 0 on
+// success.
+int lfi_encode_png_rgba(const char *path, int width, int height, int channels,
+                        const unsigned char *data) {
+    if (channels != 4 || width <= 0 || height <= 0 || !data) return 1;
+    FILE *fp = std::fopen(path, "wb");
+    if (!fp) return 1;
+
+    png_structp png =
+        png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    if (!png) {
+        std::fclose(fp);
+        return 3;
+    }
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_write_struct(&png, nullptr);
+        std::fclose(fp);
+        return 3;
+    }
+    png_bytep *rows = nullptr;
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_write_struct(&png, &info);
+        std::fclose(fp);
+        std::free(rows);
+        return 4;
+    }
+
+    png_init_io(png, fp);
+    png_set_IHDR(png, info, width, height, 8, PNG_COLOR_TYPE_RGBA,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    // Favor speed: bulk dataset writes dominate; ratio matters less.
+    png_set_compression_level(png, 3);
+    png_write_info(png, info);
+
+    rows = static_cast<png_bytep *>(std::malloc(sizeof(png_bytep) * height));
+    if (!rows) longjmp(png_jmpbuf(png), 1);
+    for (int y = 0; y < height; y++)
+        rows[y] = const_cast<png_bytep>(data + (size_t)y * width * 4);
+    png_write_image(png, rows);
+    png_write_end(png, nullptr);
+
+    png_destroy_write_struct(&png, &info);
+    std::fclose(fp);
+    std::free(rows);
+    return 0;
+}
+
+void lfi_free(unsigned char *p) { std::free(p); }
+
+}  // extern "C"
