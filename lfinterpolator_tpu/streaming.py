@@ -1,0 +1,166 @@
+"""Streaming (video) light-field rendering pipeline.
+
+BASELINE.json config 5: render a sequence of light-field frames (e.g. a video
+light field) with the host->device transfer of frame t+1 overlapped with the
+render of frame t, and PNG writes overlapped with both.
+
+TPU-first design instead of CUDA streams: JAX dispatch is asynchronous, so the
+pipeline is expressed as a small prefetch queue --
+
+    decode thread:  disk -> host uint8 stacks            (CPU, k frames ahead)
+    main loop:      device_put(frame t+1); render(frame t)  (overlapped on device)
+    writer pool:    device->host fetch + PNG encode       (CPU threads)
+
+Shapes are constant across frames, so every frame reuses the same compiled
+render executable.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import queue
+import threading
+import time
+from collections.abc import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import geometry
+from .core.config import RenderConfig
+from .io import writer
+from .ops import blend_pallas, blend_xla
+from .models import pipeline
+
+
+@dataclasses.dataclass
+class StreamStats:
+    frames: int
+    total_s: float
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.total_s if self.total_s > 0 else 0.0
+
+
+class StreamingRenderer:
+    """Fixed-geometry renderer for a sequence of light-field frames.
+
+    `frames` yields [G, H, W, C>=3] uint8 host arrays (all the same shape).
+    """
+
+    def __init__(
+        self,
+        cols: int,
+        rows: int,
+        width: int,
+        height: int,
+        trajectory: str,
+        *,
+        config: RenderConfig | None = None,
+        prefetch: int = 2,
+    ):
+        self.cfg = config or RenderConfig()
+        self.cfg.validate()
+        self.cols, self.rows = cols, rows
+        self.width, self.height = width, height
+        self.prefetch = max(1, prefetch)
+
+        start_end = geometry.parse_trajectory(trajectory, (cols, rows))
+        wm = geometry.quantize_weights_f16(
+            geometry.weight_matrix(
+                start_end, cols, rows, self.cfg.effect, self.cfg.view_count
+            )
+        ).astype(np.float32)
+        offsets = geometry.compute_offsets(
+            cols, rows, width, height, self.cfg.aspect,
+            geometry.trajectory_center(start_end),
+        )
+        self.weights = jnp.asarray(wm)
+        self.focused = jnp.asarray(
+            geometry.focused_offsets(offsets, self.cfg.focus)
+        )
+        self._use_pallas = (
+            self.cfg.method in ("TEN", "TEN_WM") and blend_pallas.is_available()
+        )
+        if self._use_pallas:
+            self._tile = blend_pallas.default_tile(cols * rows, width)
+            self._weights2 = blend_pallas.split_weights(self.weights)
+            self._pad = jax.jit(
+                blend_pallas.pad_images, static_argnums=(1, 2), donate_argnums=(0,)
+            )
+
+    def _render(self, images_planar: jnp.ndarray) -> jnp.ndarray:
+        if self._use_pallas:
+            th, tw = self._tile
+            padded = self._pad(images_planar, th, tw)
+            return blend_pallas.render_fixed_padded(
+                padded, self._weights2, self.focused,
+                h=self.height, w=self.width, tile_h=th, tile_w=tw,
+            )
+        return pipeline.render_fixed_focus(
+            images_planar, self.weights, self.focused, method="STD"
+        )
+
+    def render_stream(
+        self, frames: Iterable[np.ndarray]
+    ) -> Iterator[np.ndarray]:
+        """Yield [V, H, W, 3] uint8 view stacks, one per input frame.
+
+        Upload of frame t+1 overlaps the device render of frame t (JAX
+        dispatch is async); host-side decode runs in a prefetch thread.
+        """
+        host_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def _feeder():
+            try:
+                for f in frames:
+                    host_q.put(jax.device_put(blend_xla.to_planar(jnp.asarray(f))))
+            finally:
+                host_q.put(_SENTINEL)
+
+        threading.Thread(target=_feeder, daemon=True).start()
+
+        pending: list[jnp.ndarray] = []  # dispatched, not yet fetched
+        while True:
+            item = host_q.get()
+            if item is _SENTINEL:
+                break
+            pending.append(self._render(item))
+            # Keep at most `prefetch` renders in flight; fetch the oldest.
+            if len(pending) > self.prefetch:
+                out = pending.pop(0)
+                yield np.asarray(blend_xla.from_planar(out))
+        for out in pending:
+            yield np.asarray(blend_xla.from_planar(out))
+
+    def render_to_dir(
+        self,
+        frames: Iterable[np.ndarray],
+        output_dir: str,
+        *,
+        writers: int = 4,
+        progress: bool = False,
+    ) -> StreamStats:
+        """Render a stream and write each frame's views under
+        output_dir/frame_%05d/ with a background writer pool."""
+        t0 = time.perf_counter()
+        n = 0
+        with concurrent.futures.ThreadPoolExecutor(max_workers=writers) as pool:
+            futures = []
+            for i, views in enumerate(self.render_stream(frames)):
+                futures.append(
+                    pool.submit(
+                        writer.write_views,
+                        f"{output_dir}/frame_{i:05d}",
+                        views,
+                        progress=False,
+                    )
+                )
+                n += 1
+            for f in futures:
+                f.result()
+        return StreamStats(frames=n, total_s=time.perf_counter() - t0)

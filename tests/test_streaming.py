@@ -1,0 +1,59 @@
+"""Streaming pipeline tests (CPU, small frames)."""
+
+import os
+
+import numpy as np
+
+from lfinterpolator_tpu.core.config import RenderConfig
+from lfinterpolator_tpu.streaming import StreamingRenderer
+from lfinterpolator_tpu.core import geometry
+from lfinterpolator_tpu.ops import reference as oracle
+
+
+def _frames(rng, n, g, h, w):
+    return [
+        rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8) for _ in range(n)
+    ]
+
+
+def test_stream_matches_per_frame_oracle(rng):
+    cols = rows = 2
+    h, w, v = 16, 32, 4
+    frames = _frames(rng, 3, cols * rows, h, w)
+    sr = StreamingRenderer(
+        cols, rows, w, h, "0.0,0.0,1.0,1.0",
+        config=RenderConfig(view_count=v, focus=0.4),
+    )
+    outs = list(sr.render_stream(iter(frames)))
+    assert len(outs) == 3
+
+    se = geometry.parse_trajectory("0.0,0.0,1.0,1.0", (cols, rows))
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    )
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    fo = geometry.focused_offsets(offsets, 0.4)
+    for frame, got in zip(frames, outs):
+        want = oracle.blend_fixed(frame, wm, fo)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_stream_empty():
+    sr = StreamingRenderer(2, 2, 16, 16, "0,0,1,1", config=RenderConfig(view_count=2))
+    assert list(sr.render_stream(iter([]))) == []
+
+
+def test_render_to_dir(tmp_path, rng):
+    cols = rows = 2
+    frames = _frames(rng, 2, 4, 12, 16)
+    sr = StreamingRenderer(
+        cols, rows, 16, 12, "0,0,1,1", config=RenderConfig(view_count=2)
+    )
+    stats = sr.render_to_dir(iter(frames), str(tmp_path / "stream"))
+    assert stats.frames == 2
+    assert stats.fps > 0
+    for i in range(2):
+        files = os.listdir(tmp_path / "stream" / f"frame_{i:05d}")
+        assert len(files) == 2
