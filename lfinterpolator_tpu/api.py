@@ -165,12 +165,15 @@ class Interpolator:
             if progress:
                 print("Estimating focus map...")
 
-            def step():
+            def step(i: int = 0):
+                # The i-dependent epsilon keeps repeated benchmark runs from
+                # being deduplicated by execution-memoizing environments; it
+                # is far below the focus quantization step.
                 return pipeline.render_all_focus(
                     self.images,
                     weights,
                     offsets_j,
-                    jnp.float32(cfg.focus),
+                    jnp.float32(cfg.focus + 1e-7 * i),
                     jnp.float32(cfg.focus_range),
                     jnp.asarray(ids),
                     method=method_key,
@@ -182,7 +185,14 @@ class Interpolator:
             views, maps = step()
             run = step
         else:
-            fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
+            def fo_for(i: int = 0):
+                # see step(): the epsilon keeps repeated benchmark runs from
+                # being deduplicated by execution-memoizing environments
+                return jnp.asarray(
+                    geometry.focused_offsets(offsets, cfg.focus + 1e-5 * i)
+                )
+
+            fo = fo_for(0)
             if method_key == "TEN" and blend_pallas.is_available():
                 tile_h, tile_w = blend_pallas.default_tile(
                     lf.grid_size, lf.width
@@ -190,17 +200,19 @@ class Interpolator:
                 padded = self._padded(tile_h, tile_w)
                 weights2 = blend_pallas.split_weights(weights)
 
-                def step():
+                def step(i: int = 0):
                     return blend_pallas.render_fixed_padded(
-                        padded, weights2, fo,
+                        padded, weights2, fo if i == 0 else fo_for(i),
                         h=lf.height, w=lf.width,
                         tile_h=tile_h, tile_w=tile_w,
                     )
+
             else:
 
-                def step():
+                def step(i: int = 0):
                     return pipeline.render_fixed_focus(
-                        self.images, weights, fo, method=method_key
+                        self.images, weights, fo if i == 0 else fo_for(i),
+                        method=method_key,
                     )
 
             views = step()
@@ -213,9 +225,9 @@ class Interpolator:
         if benchmark_runs > 0:
             if progress:
                 print("Rendering views...")
-            for _ in range(benchmark_runs):
+            for i in range(benchmark_runs):
                 t0 = time.perf_counter()
-                out = run()
+                out = run(i + 1)
                 jax.block_until_ready(out)
                 run_times.append(time.perf_counter() - t0)
             if progress:
