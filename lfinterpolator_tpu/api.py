@@ -162,6 +162,11 @@ class Interpolator:
             ids = geometry.select_focus_views(
                 start_end, lf.cols, lf.rows, cfg.focus_map_views
             )
+            from .ops import focus as focus_ops
+
+            pad = focus_ops.shift_pad_bound(
+                offsets, cfg.focus, cfg.focus_range, radius, lf.height, lf.width
+            )
             if progress:
                 print("Estimating focus map...")
 
@@ -180,6 +185,7 @@ class Interpolator:
                     radius=radius,
                     filter_radius=filter_radius,
                     steps=cfg.focus_steps,
+                    pad=pad,
                 )
 
             views, maps = step()

@@ -45,7 +45,10 @@ def render_fixed_focus(
     return _blend_fixed(images, weights, focused_offsets, method)
 
 
-@partial(jax.jit, static_argnames=("method", "radius", "filter_radius", "steps"))
+@partial(
+    jax.jit,
+    static_argnames=("method", "radius", "filter_radius", "steps", "pad"),
+)
 def render_all_focus(
     images: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32
@@ -58,21 +61,34 @@ def render_all_focus(
     radius: tuple[int, int] = (2, 2),
     filter_radius: tuple[int, int] = (0, 0),
     steps: int = 32,
+    pad: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All-in-focus render: estimate -> filter -> per-pixel blend.
+
+    `pad` is the static shift bound from focus_ops.shift_pad_bound (enables
+    the pre-padded fast path of the estimator).
+
+    The per-pixel blend keeps the reference's map asymmetry
+    (src/kernels.cu:326 vs :430): STD blends with the FILTERED map -- whose
+    bytes are arbitrary, so it needs the exact gather path -- while the
+    tensor-path equivalent blends with the RAW estimator map, whose bytes are
+    level-quantized, unlocking the ~25x faster constant-shift select path.
 
     Returns (views [V, C, H, W] uint8, maps [2, H, W] uint8).
     """
     selected = images[focus_ids]  # [K, C, H, W]
     sel_offsets = offsets[focus_ids]
     map0 = focus_ops.estimate_focus_map(
-        selected, sel_offsets, focus, focus_range, radius, steps=steps
+        selected, sel_offsets, focus, focus_range, radius, steps=steps, pad=pad
     )
     map1 = focus_ops.filter_focus_map(map0, filter_radius)
-    # Map asymmetry preserved from the reference: STD blends with the filtered
-    # map, the tensor path with the raw one (src/kernels.cu:326 vs :430).
-    blend_map = map1 if method == "STD" else map0
-    views = blend_xla.render_allfocus(
-        images, weights, offsets, blend_map, focus, focus_range
-    )
+    if method == "STD":
+        views = blend_xla.render_allfocus(
+            images, weights, offsets, map1, focus, focus_range
+        )
+    else:
+        views = blend_xla.render_allfocus_quantized(
+            images, weights, offsets, map0, focus, focus_range,
+            steps=steps, pad=pad,
+        )
     return views, jnp.stack([map0, map1])

@@ -120,6 +120,77 @@ def focus_values_from_map(
     )
 
 
+def render_allfocus_quantized(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    focus_map: jnp.ndarray,  # [H, W] uint8, values limited to `steps` levels
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    steps: int,
+    pad: tuple[int, int] | None = None,  # static (px, py) >= max |shift|
+) -> jnp.ndarray:
+    """Per-pixel-focus render for maps quantized to `steps` byte levels.
+
+    Our own focus estimate emits exactly round(i/(steps-1)*255) byte values
+    (ops/focus.py), so the per-pixel blend decomposes into a select over
+    `steps` constant-shift image stacks -- pure data movement + masks instead
+    of the general gather (which is ~25x slower on TPU). Pixels whose byte is
+    not one of the levels would be dropped; callers must only pass maps
+    produced by the estimator.
+
+    Numerics: per-level shift uses floor(f_level * offset), equal to the
+    reference's per-pixel int() truncation everywhere except pixels pushed
+    past the left/top border (see ops/focus.py docstring).
+    """
+    g, c, h, w = images.shape
+    # The byte levels the estimator can emit -- computed with the estimator's
+    # exact f32 expression so the equality masks match bit-for-bit
+    # (ops/focus.py byte encode), then decoded per loadFocusFromMap
+    # (src/kernels.cu:134-137).
+    focus = jnp.asarray(focus, jnp.float32)
+    focus_range = jnp.asarray(focus_range, jnp.float32)
+    idx = jnp.arange(steps, dtype=jnp.float32)
+    step = focus_range / jnp.float32(steps - 1)
+    norm = ((focus + step * idx) - focus) / focus_range
+    levels = jnp.floor(norm * jnp.float32(255) + 0.5).astype(jnp.uint8)
+    f_levels = focus + levels.astype(jnp.float32) / jnp.float32(255) * focus_range
+    dx = jnp.floor(f_levels[:, None] * offsets[None, :, 0]).astype(jnp.int32)
+    dy = jnp.floor(f_levels[:, None] * offsets[None, :, 1]).astype(jnp.int32)
+
+    if pad is not None:
+        # Pre-pad once; every level's shift is then a plain dynamic_slice
+        # (see focus.shift_pad_bound for the static bound).
+        px, py = int(pad[0]), int(pad[1])
+        padded = jnp.pad(images, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge")
+        dx = jnp.clip(dx, -px, px)
+        dy = jnp.clip(dy, -py, py)
+
+        def shift_all(dyi, dxi):
+            return jax.vmap(
+                lambda img, sy, sx: lax.dynamic_slice(
+                    img, (jnp.int32(0), py + sy, px + sx), (c, h, w)
+                )
+            )(padded, dyi, dxi)
+    else:
+
+        def shift_all(dyi, dxi):
+            return jax.vmap(lambda img, sy, sx: shift_clamped(img, sy, sx))(
+                images, dyi, dxi
+            )
+
+    def pick(carry, inputs):
+        dxi, dyi, level = inputs
+        shifted = shift_all(dyi, dxi)  # [G, C, H, W] uint8
+        mask = (focus_map == level)[None, None, :, :]
+        return jnp.where(mask, shifted, carry), None
+
+    init = jnp.zeros_like(images)
+    selected, _ = lax.scan(pick, init, (dx, dy, levels))
+    return blend(selected, weights)
+
+
 def render_allfocus(
     images: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32

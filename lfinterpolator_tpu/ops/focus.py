@@ -42,7 +42,29 @@ def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
 
 
-@partial(jax.jit, static_argnames=("radius", "steps"))
+def shift_pad_bound(
+    offsets, focus: float, focus_range: float, radius: tuple[int, int],
+    h: int, w: int, bucket: int = 64,
+) -> tuple[int, int]:
+    """Static (px, py) pad bound for estimate_focus_map's fast path.
+
+    Computed host-side from concrete offsets/focus; rounded up to `bucket` so
+    nearby focus settings reuse the same compiled program. Capped at the
+    image size + radius (beyond that every tap clamps to the border anyway).
+    """
+    import numpy as np  # host-side only
+
+    offsets = np.asarray(offsets)
+    cands = [float(focus), float(focus) + float(focus_range)]
+    mx = max(abs(f) * float(np.abs(offsets[:, 0]).max()) for f in cands)
+    my = max(abs(f) * float(np.abs(offsets[:, 1]).max()) for f in cands)
+    px = min(int(np.ceil(mx)), w) + int(radius[0])
+    py = min(int(np.ceil(my)), h) + int(radius[1])
+    rnd = lambda v: -(-v // bucket) * bucket
+    return rnd(px), rnd(py)
+
+
+@partial(jax.jit, static_argnames=("radius", "steps", "pad"))
 def estimate_focus_map(
     selected: jnp.ndarray,  # [K, C, H, W] uint8 (the focus views, pre-gathered)
     sel_offsets: jnp.ndarray,  # [K, 2] float32 (x, y) offsets of those views
@@ -50,8 +72,15 @@ def estimate_focus_map(
     focus_range: jnp.ndarray,  # scalar f32
     radius: tuple[int, int],  # (rx, ry) static
     steps: int = 32,
+    pad: tuple[int, int] | None = None,  # (px, py) static >= max shift + radius
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
+
+    When `pad` is given (a static upper bound on |shift|+radius, see
+    `shift_pad_bound`), the view stack is edge-padded ONCE and every
+    candidate's shift becomes a plain dynamic_slice -- 6x less data movement
+    than re-padding inside the candidate scan. Without it, shifts clamp
+    through the general (concat-based) path.
 
     Returns [H, W] uint8: round((best_focus - focus)/range * 255).
     """
@@ -67,12 +96,36 @@ def estimate_focus_map(
 
     stencil = [(sx, sy) for sx in (-rx, 0, rx) for sy in (-ry, 0, ry)]
 
+    if pad is not None:
+        px, py = max(int(pad[0]), rx), max(int(pad[1]), ry)
+        padded = jnp.pad(
+            selected, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge"
+        )  # [K, C, H+2py, W+2px]
+        # clamp: shifts beyond the pad bound behave identically under the
+        # image clamp only if the bound really covers them -- callers compute
+        # it from the concrete offsets/focus (shift_pad_bound).
+        dx = jnp.clip(dx, -(px - rx), px - rx)
+        dy = jnp.clip(dy, -(py - ry), py - ry)
+
+        def shift_views(dyi, dxi):
+            def one(img, sy, sx):
+                return lax.dynamic_slice(
+                    img,
+                    (jnp.int32(0), py - ry + sy, px - rx + sx),
+                    (c, h + 2 * ry, w + 2 * rx),
+                )
+            return jax.vmap(one)(padded, dyi, dxi)
+    else:
+
+        def shift_views(dyi, dxi):
+            return jax.vmap(
+                lambda img, sy, sx: shift_clamped(img, sy, sx, pad_y=ry, pad_x=rx)
+            )(selected, dyi, dxi)
+
     def one_candidate(carry, inputs):
         best_cost, best_idx, i = carry
         dxi, dyi = inputs  # [K], [K]
-        shifted = jax.vmap(
-            lambda img, sy, sx: shift_clamped(img, sy, sx, pad_y=ry, pad_x=rx)
-        )(selected, dyi, dxi)  # [K, C, H+2ry, W+2rx] uint8
+        shifted = shift_views(dyi, dxi)  # [K, C, H+2ry, W+2rx] uint8
         mn = jnp.min(shifted, axis=0)
         mx = jnp.max(shifted, axis=0)
         cheby = jnp.max(mx - mn, axis=0).astype(jnp.int32)  # [H+2ry, W+2rx]

@@ -126,3 +126,82 @@ def test_planar_roundtrip(rng):
     assert p.shape == (3, 3, 5, 7)
     back = np.asarray(blend_xla.from_planar(p))
     np.testing.assert_array_equal(back, images[..., :3])
+
+
+def test_render_allfocus_quantized_matches_oracle(rng):
+    """Level-quantized select path vs oracle, on an estimator-style map."""
+    from lfinterpolator_tpu.core import geometry as geo
+    images, wm, offsets = _setup(rng, cols=3, rows=3, h=24, w=32, v=8)
+    h, w = images.shape[1:3]
+    steps = 8
+    focus, frange = 0.05, 0.4
+    # map restricted to the estimator's byte levels
+    lev = geo.round_half_away(
+        (np.float32(frange) / (steps - 1)) * np.arange(steps, dtype=np.float32)
+        / np.float32(frange) * 255
+    ).astype(np.uint8)
+    fmap = lev[rng.integers(0, steps, size=(h, w))]
+    want = oracle.blend_allfocus(images, wm, offsets, fmap, focus, frange)
+    got = np.asarray(
+        blend_xla.from_planar(
+            blend_xla.render_allfocus_quantized(
+                blend_xla.to_planar(jnp.asarray(images)),
+                jnp.asarray(wm.astype(np.float32)),
+                jnp.asarray(offsets),
+                jnp.asarray(fmap),
+                jnp.float32(focus),
+                jnp.float32(frange),
+                steps=steps,
+            )
+        )
+    )
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    # floor-vs-trunc differs only where coord + f*offset < 0 (border band)
+    b = 8
+    assert diff[:, b:-b, b:-b, :].max() <= 1
+    assert (diff > 0).mean() < 0.05
+
+
+def test_render_allfocus_quantized_covers_all_levels(rng):
+    """Every estimator level must be selected (no pixels left at zero)."""
+    from lfinterpolator_tpu.core import geometry as geo
+    images, wm, offsets = _setup(rng, cols=2, rows=2, h=16, w=16, v=4)
+    images[:, :, :, :3] = np.maximum(images[:, :, :, :3], 1)  # no zero pixels
+    steps = 4
+    lev = geo.round_half_away(
+        np.arange(steps) / (steps - 1) * 255
+    ).astype(np.uint8)
+    fmap = np.repeat(lev, 4)[None, :].repeat(16, axis=0).astype(np.uint8)
+    got = np.asarray(
+        blend_xla.render_allfocus_quantized(
+            blend_xla.to_planar(jnp.asarray(images)),
+            jnp.asarray(wm.astype(np.float32)),
+            jnp.asarray(offsets),
+            jnp.asarray(fmap),
+            jnp.float32(0.0),
+            jnp.float32(0.3),
+            steps=steps,
+        )
+    )
+    assert (got > 0).all()
+
+
+def test_render_allfocus_quantized_padded_matches_unpadded(rng):
+    images, wm, offsets = _setup(rng, cols=2, rows=2, h=20, w=28, v=4)
+    h, w = images.shape[1:3]
+    steps = 4
+    lev = np.round(np.arange(steps) / (steps - 1) * 255).astype(np.uint8)
+    fmap = lev[rng.integers(0, steps, size=(h, w))]
+    args = (
+        blend_xla.to_planar(jnp.asarray(images)),
+        jnp.asarray(wm.astype(np.float32)),
+        jnp.asarray(offsets),
+        jnp.asarray(fmap),
+        jnp.float32(0.1),
+        jnp.float32(0.5),
+    )
+    base = np.asarray(blend_xla.render_allfocus_quantized(*args, steps=steps))
+    fast = np.asarray(
+        blend_xla.render_allfocus_quantized(*args, steps=steps, pad=(64, 64))
+    )
+    np.testing.assert_array_equal(fast, base)

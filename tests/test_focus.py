@@ -91,3 +91,30 @@ def test_round_half_away_jnp():
     x = jnp.array([0.5, 1.5, 2.5, -0.5, -1.5, 126.5, 127.5])
     got = np.asarray(focus.round_half_away(x))
     np.testing.assert_array_equal(got, [1, 2, 3, -1, -2, 127, 128])
+
+
+def test_estimate_padded_path_matches_general(small_lf):
+    """The pre-padded fast path must equal the concat-based general path."""
+    start_end = np.array([0.0, 0.0, 3.0, 3.0], dtype=np.float32)
+    images, offsets, ids = _focus_setup(small_lf, start_end)
+    radius, steps = (2, 2), 8
+    sel = blend_xla.to_planar(jnp.asarray(images))[jnp.asarray(ids)]
+    soff = jnp.asarray(offsets[ids])
+    base = np.asarray(focus.estimate_focus_map(
+        sel, soff, jnp.float32(0.0), jnp.float32(0.5), radius, steps=steps
+    ))
+    pad = focus.shift_pad_bound(offsets, 0.0, 0.5, radius, images.shape[1], images.shape[2])
+    fast = np.asarray(focus.estimate_focus_map(
+        sel, soff, jnp.float32(0.0), jnp.float32(0.5), radius, steps=steps, pad=pad
+    ))
+    np.testing.assert_array_equal(fast, base)
+
+
+def test_shift_pad_bound_properties():
+    offs = np.array([[100.0, -50.0], [-30.0, 20.0]], np.float32)
+    px, py = focus.shift_pad_bound(offs, 0.5, 0.5, (4, 2), h=200, w=300)
+    assert px >= 100 + 4 and py >= 50 + 2  # covers max |f*off| + radius
+    assert px % 64 == 0 and py % 64 == 0
+    # capped near the image size for absurd shifts
+    px2, py2 = focus.shift_pad_bound(offs, 100.0, 0.0, (4, 2), h=50, w=60)
+    assert px2 <= 60 + 4 + 64 and py2 <= 50 + 2 + 64
