@@ -130,8 +130,13 @@ def render_allfocus_quantized(
     *,
     steps: int,
     pad: tuple[int, int] | None = None,  # static (px, py) >= max |shift|
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
 ) -> jnp.ndarray:
     """Per-pixel-focus render for maps quantized to `steps` byte levels.
+
+    With `row_start`/`row_count` (requires `pad`), renders only that block of
+    output rows; `focus_map` must then be the matching [row_count, W] block.
 
     Our own focus estimate emits exactly round(i/(steps-1)*255) byte values
     (ops/focus.py), so the per-pixel blend decomposes into a select over
@@ -159,6 +164,13 @@ def render_allfocus_quantized(
     dx = jnp.floor(f_levels[:, None] * offsets[None, :, 0]).astype(jnp.int32)
     dy = jnp.floor(f_levels[:, None] * offsets[None, :, 1]).astype(jnp.int32)
 
+    if row_count is None:
+        row_count = h
+    elif pad is None:
+        raise ValueError("row blocks require the padded fast path (pass pad=)")
+    h_out = int(row_count)
+    row_start = jnp.asarray(row_start, jnp.int32)
+
     if pad is not None:
         # Pre-pad once; every level's shift is then a plain dynamic_slice
         # (see focus.shift_pad_bound for the static bound).
@@ -170,7 +182,7 @@ def render_allfocus_quantized(
         def shift_all(dyi, dxi):
             return jax.vmap(
                 lambda img, sy, sx: lax.dynamic_slice(
-                    img, (jnp.int32(0), py + sy, px + sx), (c, h, w)
+                    img, (jnp.int32(0), py + sy + row_start, px + sx), (c, h_out, w)
                 )
             )(padded, dyi, dxi)
     else:
@@ -182,11 +194,11 @@ def render_allfocus_quantized(
 
     def pick(carry, inputs):
         dxi, dyi, level = inputs
-        shifted = shift_all(dyi, dxi)  # [G, C, H, W] uint8
+        shifted = shift_all(dyi, dxi)  # [G, C, h_out, W] uint8
         mask = (focus_map == level)[None, None, :, :]
         return jnp.where(mask, shifted, carry), None
 
-    init = jnp.zeros_like(images)
+    init = jnp.zeros((g, c, h_out, w), images.dtype)
     selected, _ = lax.scan(pick, init, (dx, dy, levels))
     return blend(selected, weights)
 
@@ -198,6 +210,8 @@ def render_allfocus(
     focus_map: jnp.ndarray,  # [H, W] uint8
     focus: jnp.ndarray,
     focus_range: jnp.ndarray,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
 ) -> jnp.ndarray:
     """Per-pixel-focus render (Standard::process<true>, src/kernels.cu:312-342).
 
@@ -205,11 +219,17 @@ def render_allfocus(
     truncation-toward-zero (src/kernels.cu:78-82), clamped. This general path
     handles arbitrary focus maps (the filtered map has arbitrary byte values)
     and is exact; it uses one gather per image.
+
+    With `row_start`/`row_count`, renders only that block of output rows;
+    `focus_map` must then be the matching [row_count, W] block.
     """
     g, c, h, w = images.shape
-    fv = focus_values_from_map(focus_map, focus, focus_range)  # [H, W]
-    yy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    h_out = h if row_count is None else int(row_count)
+    fv = focus_values_from_map(focus_map, focus, focus_range)  # [h_out, W]
+    yy = lax.broadcasted_iota(jnp.float32, (h_out, w), 0) + jnp.asarray(
+        row_start, jnp.float32
+    )
+    xx = lax.broadcasted_iota(jnp.float32, (h_out, w), 1)
 
     def one(img, off):
         cx = jnp.clip(jnp.trunc(xx + fv * off[0]).astype(jnp.int32), 0, w - 1)
@@ -217,12 +237,12 @@ def render_allfocus(
         flat_idx = (cy * w + cx).reshape(-1)  # [H*W]
         return jnp.take(img.reshape(c, h * w), flat_idx, axis=1)  # [C, H*W]
 
-    shifted = jax.vmap(one)(images, offsets)  # [G, C, H*W]
+    shifted = jax.vmap(one)(images, offsets)  # [G, C, h_out*W]
     acc = jnp.einsum(
         "vg,gp->vp",
         weights,
-        shifted.reshape(g, c * h * w).astype(jnp.float32),
+        shifted.reshape(g, c * h_out * w).astype(jnp.float32),
         precision=lax.Precision.HIGHEST,
     )
     out = jnp.clip(jnp.round(acc), 0, 255).astype(jnp.uint8)
-    return out.reshape(weights.shape[0], c, h, w)
+    return out.reshape(weights.shape[0], c, h_out, w)

@@ -64,7 +64,7 @@ def shift_pad_bound(
     return rnd(px), rnd(py)
 
 
-@partial(jax.jit, static_argnames=("radius", "steps", "pad"))
+@partial(jax.jit, static_argnames=("radius", "steps", "pad", "row_count"))
 def estimate_focus_map(
     selected: jnp.ndarray,  # [K, C, H, W] uint8 (the focus views, pre-gathered)
     sel_offsets: jnp.ndarray,  # [K, 2] float32 (x, y) offsets of those views
@@ -73,6 +73,8 @@ def estimate_focus_map(
     radius: tuple[int, int],  # (rx, ry) static
     steps: int = 32,
     pad: tuple[int, int] | None = None,  # (px, py) static >= max shift + radius
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
 
@@ -82,10 +84,19 @@ def estimate_focus_map(
     than re-padding inside the candidate scan. Without it, shifts clamp
     through the general (concat-based) path.
 
-    Returns [H, W] uint8: round((best_focus - focus)/range * 255).
+    `row_start`/`row_count` restrict the output to a block of rows (used by
+    spatially-sharded rendering; requires `pad`). `row_start` may be traced.
+
+    Returns [row_count or H, W] uint8: round((best_focus - focus)/range * 255).
     """
     k, c, h, w = selected.shape
     rx, ry = int(radius[0]), int(radius[1])
+    if row_count is None:
+        row_count = h
+    elif pad is None:
+        raise ValueError("row blocks require the padded fast path (pass pad=)")
+    h_out = int(row_count)
+    row_start = jnp.asarray(row_start, jnp.int32)
     focus = jnp.asarray(focus, jnp.float32)
     focus_range = jnp.asarray(focus_range, jnp.float32)
     step = focus_range / jnp.float32(steps - 1)
@@ -111,8 +122,8 @@ def estimate_focus_map(
             def one(img, sy, sx):
                 return lax.dynamic_slice(
                     img,
-                    (jnp.int32(0), py - ry + sy, px - rx + sx),
-                    (c, h + 2 * ry, w + 2 * rx),
+                    (jnp.int32(0), py - ry + sy + row_start, px - rx + sx),
+                    (c, h_out + 2 * ry, w + 2 * rx),
                 )
             return jax.vmap(one)(padded, dyi, dxi)
     else:
@@ -125,14 +136,14 @@ def estimate_focus_map(
     def one_candidate(carry, inputs):
         best_cost, best_idx, i = carry
         dxi, dyi = inputs  # [K], [K]
-        shifted = shift_views(dyi, dxi)  # [K, C, H+2ry, W+2rx] uint8
+        shifted = shift_views(dyi, dxi)  # [K, C, h_out+2ry, W+2rx] uint8
         mn = jnp.min(shifted, axis=0)
         mx = jnp.max(shifted, axis=0)
-        cheby = jnp.max(mx - mn, axis=0).astype(jnp.int32)  # [H+2ry, W+2rx]
-        cost = jnp.zeros((h, w), jnp.int32)
+        cheby = jnp.max(mx - mn, axis=0).astype(jnp.int32)  # [h_out+2ry, W+2rx]
+        cost = jnp.zeros((h_out, w), jnp.int32)
         for sx, sy in stencil:
             cost = cost + lax.dynamic_slice(
-                cheby, (ry + sy, rx + sx), (h, w)
+                cheby, (ry + sy, rx + sx), (h_out, w)
             )
         better = cost < best_cost  # strict: first minimum wins, like MinDispersion
         best_cost = jnp.where(better, cost, best_cost)
@@ -140,8 +151,8 @@ def estimate_focus_map(
         return (best_cost, best_idx, i + 1), None
 
     init = (
-        jnp.full((h, w), jnp.iinfo(jnp.int32).max, jnp.int32),
-        jnp.zeros((h, w), jnp.int32),
+        jnp.full((h_out, w), jnp.iinfo(jnp.int32).max, jnp.int32),
+        jnp.zeros((h_out, w), jnp.int32),
         jnp.int32(0),
     )
     (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, (dx, dy))
@@ -170,6 +181,38 @@ def filter_focus_map(focus_map: jnp.ndarray, radius: tuple[int, int]) -> jnp.nda
         - ii[0:h, 2 * rx : 2 * rx + w]
         - ii[2 * ry : 2 * ry + h, 0:w]
         + ii[0:h, 0:w]
+    )
+    avg = s.astype(jnp.float32) / jnp.float32(4 * rx * ry)
+    return round_half_away(avg).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("radius", "row_count"))
+def filter_focus_map_block(
+    focus_map: jnp.ndarray,  # [H, W] uint8 (the FULL map)
+    radius: tuple[int, int],
+    row_start: jnp.ndarray | int,
+    row_count: int,
+) -> jnp.ndarray:
+    """Box filter restricted to an output row block (sharded rendering).
+
+    Takes the full map (the +-ry halo crosses shard boundaries; the map is
+    tiny, so sharded callers all_gather it first) and returns rows
+    [row_start, row_start+row_count). Bit-exact vs filter_focus_map.
+    """
+    rx, ry = int(radius[0]), int(radius[1])
+    h, w = focus_map.shape
+    if rx == 0 or ry == 0:
+        return lax.dynamic_slice(focus_map, (jnp.asarray(row_start, jnp.int32), 0), (row_count, w))
+    padded = jnp.pad(focus_map, ((ry, ry), (rx, rx)), mode="edge").astype(jnp.int32)
+    local = lax.dynamic_slice(
+        padded, (jnp.asarray(row_start, jnp.int32), 0), (row_count + 2 * ry, w + 2 * rx)
+    )
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(local, axis=0), axis=1), ((1, 0), (1, 0)))
+    s = (
+        ii[2 * ry : 2 * ry + row_count, 2 * rx : 2 * rx + w]
+        - ii[0:row_count, 2 * rx : 2 * rx + w]
+        - ii[2 * ry : 2 * ry + row_count, 0:w]
+        + ii[0:row_count, 0:w]
     )
     avg = s.astype(jnp.float32) / jnp.float32(4 * rx * ry)
     return round_half_away(avg).astype(jnp.uint8)

@@ -92,6 +92,82 @@ def render_fixed_sharded(
     )(images, weights, focused_offsets)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "method", "radius", "filter_radius", "steps", "pad"),
+)
+def render_all_focus_sharded(
+    mesh: Mesh,
+    images: jnp.ndarray,  # [G, C, H, W] uint8, replicated
+    weights: jnp.ndarray,  # [V, G] float32, sharded over "view"
+    offsets: jnp.ndarray,  # [G, 2] float32, replicated
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    focus_ids: jnp.ndarray,  # [K] int32, replicated
+    *,
+    method: str = "STD",
+    radius: tuple[int, int] = (2, 2),
+    filter_radius: tuple[int, int] = (0, 0),
+    steps: int = 32,
+    pad: tuple[int, int] = (64, 64),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full all-in-focus pipeline over the (view x space) mesh.
+
+    Per shard: estimate its own row block of the focus map (inputs are
+    replicated, so the disparity search needs no halo exchange), all_gather
+    the tiny [H, W] map over the space axis (the box filter's halo is the
+    only cross-shard dependency in the whole pipeline), filter + blend its
+    row block with its view-shard of the weight matrix.
+
+    Returns (views sharded P('view', None, 'space', None),
+             maps [2, H, W] sharded P(None, 'space', None)).
+    """
+    from ..ops import focus as focus_ops
+
+    g, c, h, w = images.shape
+    n_space = mesh.shape["space"]
+    if h % n_space != 0:
+        raise ValueError(f"H={h} must divide by the space axis ({n_space})")
+    h_local = h // n_space
+
+    def local_fn(images_l, weights_l, offsets_l, ids_l, focus, focus_range):
+        row0 = jax.lax.axis_index("space") * h_local
+        selected = images_l[ids_l]
+        sel_offsets = offsets_l[ids_l]
+        map0_l = focus_ops.estimate_focus_map(
+            selected, sel_offsets, focus, focus_range, radius,
+            steps=steps, pad=pad, row_start=row0, row_count=h_local,
+        )
+        # Only cross-shard dependency: the filter halo. The map is tiny.
+        map0_full = jax.lax.all_gather(map0_l, "space", tiled=True)
+        map1_l = focus_ops.filter_focus_map_block(
+            map0_full, filter_radius, row0, h_local
+        )
+        if method == "STD":
+            views_l = blend_xla.render_allfocus(
+                images_l, weights_l, offsets_l, map1_l, focus, focus_range,
+                row_start=row0, row_count=h_local,
+            )
+        else:
+            views_l = blend_xla.render_allfocus_quantized(
+                images_l, weights_l, offsets_l, map0_l, focus, focus_range,
+                steps=steps, pad=pad, row_start=row0, row_count=h_local,
+            )
+        return views_l, jnp.stack([map0_l, map1_l])
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("view", None), P(), P(), P(), P()),
+        out_specs=(
+            P("view", None, "space", None),
+            P(None, "space", None),
+        ),
+        check_vma=False,
+    )(images, weights, offsets, focus_ids,
+      jnp.asarray(focus, jnp.float32), jnp.asarray(focus_range, jnp.float32))
+
+
 def gather_views(views: jnp.ndarray) -> np.ndarray:
     """Fetch a (possibly sharded) view stack to the host as [V, H, W, C]."""
     return np.asarray(blend_xla.from_planar(jax.device_get(views)))

@@ -87,3 +87,45 @@ def test_sharded_rejects_bad_row_split(devices):
     imgs_d, w_d = pmesh.shard_inputs(m, planar, jnp.asarray(wm))
     with pytest.raises(ValueError, match="must divide"):
         pmesh.render_fixed_sharded(m, imgs_d, w_d, jnp.asarray(fo))
+
+
+def test_sharded_all_focus_matches_unsharded(devices, small_lf):
+    from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import focus as focus_ops
+    from lfinterpolator_tpu.core import geometry
+
+    images, (cols, rows) = small_lf
+    h, w = images.shape[1:3]
+    se = np.array([0.0, 0.0, 3.0, 3.0], np.float32)
+    v = 8
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    ids = geometry.select_focus_views(se, cols, rows, 8)
+    radius, frad, steps = (2, 2), (1, 1), 8
+    pad = focus_ops.shift_pad_bound(offsets, 0.0, 0.5, radius, h, w)
+
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    args = dict(radius=radius, filter_radius=frad, steps=steps)
+    for method in ("STD", "TEN"):
+        want_views, want_maps = pipeline.render_all_focus(
+            planar, jnp.asarray(wm), jnp.asarray(offsets),
+            jnp.float32(0.0), jnp.float32(0.5), jnp.asarray(ids),
+            method=method, pad=pad, **args,
+        )
+        m = pmesh.make_mesh(devices, view_parallel=2)
+        imgs_d, w_d = pmesh.shard_inputs(m, planar, jnp.asarray(wm))
+        got_views, got_maps = pmesh.render_all_focus_sharded(
+            m, imgs_d, w_d, jnp.asarray(offsets),
+            jnp.float32(0.0), jnp.float32(0.5), jnp.asarray(ids),
+            method=method, pad=pad, **args,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_maps), np.asarray(want_maps), err_msg=method
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_views), np.asarray(want_views), err_msg=method
+        )
