@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: 8x8-grid 1080p, 64 novel views, fused Pallas MXU blend.
+"""Benchmarks over the BASELINE.json configs.
 
-Mirrors the reference's built-in self-benchmark (reference:
-src/interpolator.cu:271-295 -- 100 timed repetitions of the render kernel)
-on BASELINE.json's headline config. Prints ONE JSON line:
+Default (what the driver runs): the headline config -- 8x8 grid, 1080p, 64
+novel views, fused Pallas MXU blend -- printed as ONE JSON line:
 
     {"metric": ..., "value": ..., "unit": "GP/s", "vs_baseline": ...}
 
 vs_baseline is against the self-established 2 GP/s-per-chip target
-(BASELINE.md; the reference publishes no numbers).
+(BASELINE.md; the reference publishes no numbers; it self-times 100 kernel
+repetitions, reference: src/interpolator.cu:271-295).
+
+Other BASELINE configs: `python bench.py --config NAME` or env
+LFI_BENCH_CONFIG with one of: headline, c1_2x2_512, c2_4x4_1024,
+c3_allfocus_1080, c4_quilt_1080, c5_video_4k, all.
+
+Timing method: N dispatches in flight with distinct shift tables per run and
+one tiny-fetch sync at the end (the production serving pattern). Repeated
+identical executions can be memoized by tunneled execution environments, and
+per-call sync adds ~30 ms of host round-trip -- both would fake the numbers.
 """
 
 import json
@@ -16,8 +25,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
@@ -25,39 +36,57 @@ import jax
 import jax.numpy as jnp
 
 from lfinterpolator_tpu.core import geometry
-from lfinterpolator_tpu.ops import blend_pallas, blend_xla
+from lfinterpolator_tpu.ops import blend_pallas, blend_xla, focus as focus_ops, quilt
+from lfinterpolator_tpu.models import pipeline
 
 BASELINE_GPS = 2.0  # GP/s per chip (BASELINE.md target)
 RUNS = int(os.environ.get("LFI_BENCH_RUNS", "50"))
 WARMUP = 3
 
 
-def main() -> None:
-    cols = rows = 8
-    g = cols * rows
-    h, w, v = 1080, 1920, 64
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf.reshape(-1)[:8])
 
+
+def _throughput(step, runs: int) -> float:
+    """Seconds per call: pipelined dispatch, tiny-fetch sync."""
+    for i in range(WARMUP):
+        out = step(i)
+        _sync(out)
+        del out
+    t0 = time.perf_counter()
+    last = None
+    for i in range(runs):
+        last = step(WARMUP + i)
+    _sync(last)
+    return (time.perf_counter() - t0) / runs
+
+
+def _setup(cols, rows, h, w, v, effect=3.0, aspect=1.0):
+    g = cols * rows
     start_end = np.array([0.0, 0.0, cols - 1.0, rows - 1.0], np.float32)
     wm = geometry.quantize_weights_f16(
-        geometry.weight_matrix(start_end, cols, rows, 3.0, v)
+        geometry.weight_matrix(start_end, cols, rows, effect, v)
     ).astype(np.float32)
     offsets = geometry.compute_offsets(
-        cols, rows, w, h, 1.0, geometry.trajectory_center(start_end)
+        cols, rows, w, h, aspect, geometry.trajectory_center(start_end)
     )
-    # Distinct shift tables per repetition: some execution environments
-    # memoize identical (executable, inputs) pairs, which would fake the
-    # timing. Varying the focus slightly keeps the work identical.
-    fos = [
-        jnp.asarray(geometry.focused_offsets(offsets, 0.25 + 0.007 * i))
-        for i in range(RUNS + WARMUP)
-    ]
-
-    # Synthesize the light field on-device (uploading 400 MB through a
-    # tunneled device would dominate the benchmark's setup time).
+    # On-device synthetic light field (uploading hundreds of MB through a
+    # tunneled device would dominate setup).
     planar = jax.random.randint(
         jax.random.key(0), (g, 3, h, w), 0, 255, jnp.int32
     ).astype(jnp.uint8)
-    use_pallas = blend_pallas.is_available()
+    return start_end, wm, offsets, planar
+
+
+def _fixed_step(planar, wm, offsets, h, w, method="TEN"):
+    g = planar.shape[0]
+    use_pallas = method == "TEN" and blend_pallas.is_available()
+    fos = [
+        jnp.asarray(geometry.focused_offsets(offsets, 0.25 + 0.007 * i))
+        for i in range(RUNS + WARMUP + 1)
+    ]
     if use_pallas:
         tile_h, tile_w = blend_pallas.default_tile(g, w)
         padded = jax.block_until_ready(
@@ -67,46 +96,173 @@ def main() -> None:
         )
         weights2 = blend_pallas.split_weights(jnp.asarray(wm))
 
-        def step(fo):
+        def step(i):
             return blend_pallas.render_fixed_padded(
-                padded, weights2, fo, h=h, w=w, tile_h=tile_h, tile_w=tile_w
+                padded, weights2, fos[i], h=h, w=w, tile_h=tile_h, tile_w=tile_w
             )
-    else:  # CPU fallback so the benchmark at least runs anywhere
+    else:
         weights = jnp.asarray(wm)
 
-        def step(fo):
-            return blend_xla.render_fixed(planar, weights, fo)
+        def step(i):
+            return blend_xla.render_fixed(planar, weights, fos[i])
 
-    # Warmup (and force real completion with a tiny fetch: through remote
-    # tunnels, block_until_ready alone has been observed to return early).
-    for i in range(WARMUP):
-        out = step(fos[i])
-        _ = np.asarray(out.reshape(-1)[:8])
-        del out
+    return step, use_pallas
 
-    # Throughput regime: RUNS dispatches in flight (each with distinct
-    # inputs), one sync at the end -- the production serving pattern, and the
-    # only regime not dominated by per-call host round-trip overhead.
-    t0 = time.perf_counter()
-    last = None
-    for i in range(RUNS):
-        last = step(fos[WARMUP + i])
-    _ = np.asarray(last.reshape(-1)[:8])
-    per_frame = (time.perf_counter() - t0) / RUNS
 
-    gps = v * h * w / per_frame / 1e9
+def _emit(metric, value, unit, vs_baseline):
     print(
         json.dumps(
             {
-                "metric": "8x8-grid 1080p 64-view fused blend throughput "
-                f"({'pallas' if use_pallas else 'xla-cpu-fallback'}, "
-                f"pipelined, {RUNS} runs, {per_frame * 1000:.2f} ms/frame)",
-                "value": round(gps, 3),
-                "unit": "GP/s",
-                "vs_baseline": round(gps / BASELINE_GPS, 3),
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 3),
             }
         )
     )
+
+
+def bench_headline():
+    cols = rows = 8
+    h, w, v = 1080, 1920, 64
+    _, wm, offsets, planar = _setup(cols, rows, h, w, v)
+    step, use_pallas = _fixed_step(planar, wm, offsets, h, w)
+    per = _throughput(step, RUNS)
+    gps = v * h * w / per / 1e9
+    _emit(
+        "8x8-grid 1080p 64-view fused blend throughput "
+        f"({'pallas' if use_pallas else 'xla-cpu-fallback'}, pipelined, "
+        f"{RUNS} runs, {per * 1000:.2f} ms/frame)",
+        gps, "GP/s", gps / BASELINE_GPS,
+    )
+
+
+def bench_c1():
+    # 2x2 grid, 512x512, single novel view position (64 identical views).
+    h = w = 512
+    v = 64
+    _, wm, offsets, planar = _setup(2, 2, h, w, v)
+    step, _ = _fixed_step(planar, wm, offsets, h, w, method="STD")
+    per = _throughput(step, RUNS)
+    gps = v * h * w / per / 1e9
+    _emit(f"2x2-grid 512px blend, STD/XLA path ({per*1000:.2f} ms)", gps, "GP/s",
+          gps / BASELINE_GPS)
+
+
+def bench_c2():
+    h = w = 1024
+    v = 64
+    _, wm, offsets, planar = _setup(4, 4, h, w, v)
+    step, _ = _fixed_step(planar, wm, offsets, h, w)
+    per = _throughput(step, RUNS)
+    gps = v * h * w / per / 1e9
+    _emit(f"4x4-grid 1024px 64-view blend ({per*1000:.2f} ms)", gps, "GP/s",
+          gps / BASELINE_GPS)
+
+
+def bench_c3():
+    # per-pixel focus: estimate + filter + quantized blend, 1080p, 8x8.
+    cols = rows = 8
+    h, w, v = 1080, 1920, 64
+    start_end, wm, offsets, planar = _setup(cols, rows, h, w, v)
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 32))
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    weights = jnp.asarray(wm)
+    offj = jnp.asarray(offsets)
+
+    def step(i):
+        return pipeline.render_all_focus(
+            planar, weights, offj,
+            jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
+            method="TEN", radius=radius, filter_radius=frad, steps=32, pad=pad,
+        )
+
+    per = _throughput(step, max(4, RUNS // 8))
+    gps = v * h * w / per / 1e9
+    _emit(
+        f"8x8-grid 1080p all-in-focus pipeline: estimate+filter+blend "
+        f"({per*1000:.0f} ms)", gps, "GP/s", gps / BASELINE_GPS,
+    )
+
+
+def bench_c4():
+    # headline blend + on-device 5x9 quilt assembly.
+    cols = rows = 8
+    h, w, v = 1080, 1920, 64
+    _, wm, offsets, planar = _setup(cols, rows, h, w, v)
+    blend_step, _ = _fixed_step(planar, wm, offsets, h, w)
+
+    def step(i):
+        return quilt.assemble_quilt(blend_step(i), cols=5, rows=9)
+
+    per = _throughput(step, max(8, RUNS // 4))
+    gps = 45 * h * w / per / 1e9
+    _emit(f"8x8-grid 1080p blend + 45-view quilt ({per*1000:.2f} ms)",
+          gps, "GP/s", gps / BASELINE_GPS)
+
+
+def bench_c5():
+    # streaming 4K: fixed geometry, new frame content each step (the frame
+    # swap stands in for the video decode; content is generated on-device).
+    cols = rows = 8
+    g = cols * rows
+    h, w, v = 2160, 3840, 64
+    start_end, wm, offsets, _ = _setup(cols, rows, 256, 256, v)  # geometry only
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(start_end)
+    )
+    fo = jnp.asarray(geometry.focused_offsets(offsets, 0.25))
+    tile_h, tile_w = blend_pallas.default_tile(g, w)
+    weights2 = blend_pallas.split_weights(jnp.asarray(wm))
+    pad_fn = jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))
+
+    @jax.jit
+    def gen_frame(seed):
+        return jax.random.randint(
+            jax.random.key(seed), (g, 3, h, w), 0, 255, jnp.int32
+        ).astype(jnp.uint8)
+
+    use_pallas = blend_pallas.is_available()
+
+    def step(i):
+        frame = gen_frame(i)
+        if use_pallas:
+            padded = pad_fn(frame, tile_h, tile_w)
+            return blend_pallas.render_fixed_padded(
+                padded, weights2, fo, h=h, w=w, tile_h=tile_h, tile_w=tile_w
+            )
+        return blend_xla.render_fixed(frame, jnp.asarray(wm), fo)
+
+    runs = max(4, RUNS // 8)
+    per = _throughput(step, runs)
+    _emit(
+        f"8x8-grid 4K video streaming blend ({per*1000:.0f} ms/frame, "
+        f"{v} views, includes per-frame pad)", 1.0 / per, "frames/s",
+        (v * h * w / per / 1e9) / BASELINE_GPS,
+    )
+
+
+CONFIGS = {
+    "headline": bench_headline,
+    "c1_2x2_512": bench_c1,
+    "c2_4x4_1024": bench_c2,
+    "c3_allfocus_1080": bench_c3,
+    "c4_quilt_1080": bench_c4,
+    "c5_video_4k": bench_c5,
+}
+
+
+def main() -> None:
+    name = os.environ.get("LFI_BENCH_CONFIG", "headline")
+    if "--config" in sys.argv:
+        name = sys.argv[sys.argv.index("--config") + 1]
+    if name == "all":
+        for fn in CONFIGS.values():
+            fn()
+        return
+    CONFIGS[name]()
 
 
 if __name__ == "__main__":

@@ -57,8 +57,8 @@ def _interpret() -> bool:
 
 
 # DMA pipeline depth: windows are small (tens of KB), so throughput is
-# latency-bound; several in-flight copies hide it.
-_N_BUF = 4
+# latency-bound; several in-flight copies hide it (measured flat beyond 8).
+_N_BUF = 8
 
 
 def default_tile(g: int, w: int) -> tuple[int, int]:

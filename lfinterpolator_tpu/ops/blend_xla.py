@@ -78,6 +78,59 @@ def shift_clamped(
     return shift_axis_clamped(out, dx, axis=2, pad=pad_x)
 
 
+def trunc_shifted_window(
+    padded: jnp.ndarray,  # [C, H+2py, W+2px] edge-padded image
+    fy: jnp.ndarray,  # true fractional row shift (focus * offset_y), f32
+    fx: jnp.ndarray,  # true fractional col shift, f32
+    *,
+    px: int,
+    py: int,
+    h_out: int,
+    w: int,
+    ry: int = 0,
+    rx: int = 0,
+    row_start: jnp.ndarray | int = 0,
+) -> jnp.ndarray:
+    """Exact C-truncation shifted window from a pre-padded image.
+
+    out[qy, qx] = img[clip(int(Y + fy), 0, H-1), clip(int(X + fx), 0, W-1)]
+    for output coords qy in [row_start-ry, row_start+h_out+ry),
+    qx in [-rx, w+rx), where int() truncates toward zero like the reference's
+    focusCoords cast (src/kernels.cu:78-82): floor for X+fx >= 0, floor+1
+    (ceil) for negative non-integer values. Implemented as ONE dynamic slice
+    of a (+1 row, +1 col) superset window plus per-row/column selects -- no
+    gathers, and bit-exact against the oracle (the constant-floor
+    approximation is wrong wherever coordinates go negative).
+    """
+    c = padded.shape[0]
+    dyf = jnp.clip(jnp.floor(fy).astype(jnp.int32), -(py - ry), py - ry - 1)
+    dxf = jnp.clip(jnp.floor(fx).astype(jnp.int32), -(px - rx), px - rx - 1)
+    row_start = jnp.asarray(row_start, jnp.int32)
+    sup = lax.dynamic_slice(
+        padded,
+        (jnp.int32(0), py - ry + dyf + row_start, px - rx + dxf),
+        (c, h_out + 2 * ry + 1, w + 2 * rx + 1),
+    )
+    base = sup[:, :-1, :-1]
+    plus_y = sup[:, 1:, :-1]
+    plus_x = sup[:, :-1, 1:]
+    plus_xy = sup[:, 1:, 1:]
+    qy = (
+        lax.broadcasted_iota(jnp.int32, (h_out + 2 * ry, 1), 0)
+        - ry
+        + row_start
+    ).astype(jnp.float32)
+    qx = (
+        lax.broadcasted_iota(jnp.int32, (1, w + 2 * rx), 1) - rx
+    ).astype(jnp.float32)
+    # trunc(t) = floor(t) + 1 for negative non-integer t (ceil).
+    my = ((qy < -fy) & (fy != jnp.floor(fy)))[None]  # [1, Hout, 1]
+    mx = ((qx < -fx) & (fx != jnp.floor(fx)))[None]  # [1, 1, Wout]
+    return jnp.where(
+        my & mx, plus_xy, jnp.where(my, plus_y, jnp.where(mx, plus_x, base))
+    )
+
+
 def shift_stack(images: jnp.ndarray, offsets_xy: jnp.ndarray) -> jnp.ndarray:
     """Shift every image of a stack [G, C, H, W] by its (dx, dy) int offsets."""
     return jax.vmap(lambda img, o: shift_clamped(img, o[1], o[0]))(images, offsets_xy)
@@ -161,8 +214,10 @@ def render_allfocus_quantized(
     norm = ((focus + step * idx) - focus) / focus_range
     levels = jnp.floor(norm * jnp.float32(255) + 0.5).astype(jnp.uint8)
     f_levels = focus + levels.astype(jnp.float32) / jnp.float32(255) * focus_range
-    dx = jnp.floor(f_levels[:, None] * offsets[None, :, 0]).astype(jnp.int32)
-    dy = jnp.floor(f_levels[:, None] * offsets[None, :, 1]).astype(jnp.int32)
+    # True fractional per-level, per-image shifts (trunc applied per pixel by
+    # trunc_shifted_window, matching focusCoords exactly).
+    fxs = f_levels[:, None] * offsets[None, :, 0]  # [steps, G]
+    fys = f_levels[:, None] * offsets[None, :, 1]
 
     if row_count is None:
         row_count = h
@@ -172,34 +227,53 @@ def render_allfocus_quantized(
     row_start = jnp.asarray(row_start, jnp.int32)
 
     if pad is not None:
-        # Pre-pad once; every level's shift is then a plain dynamic_slice
+        # Pre-pad once; every level's shift is then one dynamic_slice + selects
         # (see focus.shift_pad_bound for the static bound).
-        px, py = int(pad[0]), int(pad[1])
+        px, py = max(int(pad[0]), 1), max(int(pad[1]), 1)
         padded = jnp.pad(images, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge")
-        dx = jnp.clip(dx, -px, px)
-        dy = jnp.clip(dy, -py, py)
 
-        def shift_all(dyi, dxi):
+        def shift_all(fyi, fxi):
             return jax.vmap(
-                lambda img, sy, sx: lax.dynamic_slice(
-                    img, (jnp.int32(0), py + sy + row_start, px + sx), (c, h_out, w)
+                lambda img, fy, fx: trunc_shifted_window(
+                    img, fy, fx, px=px, py=py, h_out=h_out, w=w,
+                    row_start=row_start,
                 )
-            )(padded, dyi, dxi)
+            )(padded, fyi, fxi)
     else:
 
-        def shift_all(dyi, dxi):
-            return jax.vmap(lambda img, sy, sx: shift_clamped(img, sy, sx))(
-                images, dyi, dxi
-            )
+        def shift_all(fyi, fxi):
+            def one(img, fy, fx):
+                # general path: floor-shift with clamp, then the +1 trunc
+                # correction reads come from the +-1 halo of the same window
+                sh = shift_clamped(
+                    img,
+                    jnp.clip(jnp.floor(fy), -h, h).astype(jnp.int32),
+                    jnp.clip(jnp.floor(fx), -w, w).astype(jnp.int32),
+                    pad_y=1, pad_x=1,
+                )  # [C, h+2, w+2]
+                qy = lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
+                qx = lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+                my = ((qy < -fy) & (fy != jnp.floor(fy)))[None]
+                mx = ((qx < -fx) & (fx != jnp.floor(fx)))[None]
+                base = sh[:, 1:-1, 1:-1]
+                plus_y = sh[:, 2:, 1:-1]
+                plus_x = sh[:, 1:-1, 2:]
+                plus_xy = sh[:, 2:, 2:]
+                return jnp.where(
+                    my & mx, plus_xy,
+                    jnp.where(my, plus_y, jnp.where(mx, plus_x, base)),
+                )
+
+            return jax.vmap(one)(images, fyi, fxi)
 
     def pick(carry, inputs):
-        dxi, dyi, level = inputs
-        shifted = shift_all(dyi, dxi)  # [G, C, h_out, W] uint8
+        fxi, fyi, level = inputs
+        shifted = shift_all(fyi, fxi)  # [G, C, h_out, W] uint8
         mask = (focus_map == level)[None, None, :, :]
         return jnp.where(mask, shifted, carry), None
 
     init = jnp.zeros((g, c, h_out, w), images.dtype)
-    selected, _ = lax.scan(pick, init, (dx, dy, levels))
+    selected, _ = lax.scan(pick, init, (fxs, fys, levels))
     return blend(selected, weights)
 
 

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .blend_xla import shift_clamped
+from .blend_xla import shift_clamped, trunc_shifted_window as blend_xla_trunc_window
 
 
 def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +64,10 @@ def shift_pad_bound(
     return rnd(px), rnd(py)
 
 
-@partial(jax.jit, static_argnames=("radius", "steps", "pad", "row_count"))
+@partial(
+    jax.jit,
+    static_argnames=("radius", "steps", "pad", "row_count", "exact_taps"),
+)
 def estimate_focus_map(
     selected: jnp.ndarray,  # [K, C, H, W] uint8 (the focus views, pre-gathered)
     sel_offsets: jnp.ndarray,  # [K, 2] float32 (x, y) offsets of those views
@@ -75,6 +78,7 @@ def estimate_focus_map(
     pad: tuple[int, int] | None = None,  # (px, py) static >= max shift + radius
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
+    exact_taps: bool = True,
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
 
@@ -83,6 +87,15 @@ def estimate_focus_map(
     candidate's shift becomes a plain dynamic_slice -- 6x less data movement
     than re-padding inside the candidate scan. Without it, shifts clamp
     through the general (concat-based) path.
+
+    `exact_taps` (default, requires `pad`) evaluates every stencil tap with
+    the per-pixel C truncation rule at the CENTER pixel, exactly like the
+    oracle (focusCoords is computed once per pixel, src/kernels.cu:205-210);
+    each stencil cell then does its own min/max pass over the views (~6x the
+    data movement). With exact_taps=False the min/max maps are computed once
+    per candidate and the 9 taps become slices of them -- ~6x faster, but the
+    truncation rule is evaluated at the tap position, which can flip the
+    argmin inside a radius-wide band at each view's coordinate sign change.
 
     `row_start`/`row_count` restrict the output to a block of rows (used by
     spatially-sharded rendering; requires `pad`). `row_start` may be traced.
@@ -101,50 +114,96 @@ def estimate_focus_map(
     focus_range = jnp.asarray(focus_range, jnp.float32)
     step = focus_range / jnp.float32(steps - 1)
     candidates = focus + step * jnp.arange(steps, dtype=jnp.float32)  # [steps]
-    # Per-candidate, per-view constant integer shifts: floor(f * offset).
-    dx = jnp.floor(candidates[:, None] * sel_offsets[None, :, 0]).astype(jnp.int32)
-    dy = jnp.floor(candidates[:, None] * sel_offsets[None, :, 1]).astype(jnp.int32)
+    # Per-candidate, per-view true fractional shifts; per-pixel C truncation
+    # is applied by trunc_shifted_window (exact vs the oracle, except that
+    # stencil taps evaluate the trunc rule at the tap rather than the center
+    # pixel -- differing only in an rx/ry-wide band at each view's sign-change
+    # column/row).
+    fxs = candidates[:, None] * sel_offsets[None, :, 0]  # [steps, K]
+    fys = candidates[:, None] * sel_offsets[None, :, 1]
 
     stencil = [(sx, sy) for sx in (-rx, 0, rx) for sy in (-ry, 0, ry)]
 
     if pad is not None:
-        px, py = max(int(pad[0]), rx), max(int(pad[1]), ry)
+        px, py = max(int(pad[0]), rx + 1), max(int(pad[1]), ry + 1)
         padded = jnp.pad(
             selected, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge"
         )  # [K, C, H+2py, W+2px]
-        # clamp: shifts beyond the pad bound behave identically under the
-        # image clamp only if the bound really covers them -- callers compute
-        # it from the concrete offsets/focus (shift_pad_bound).
-        dx = jnp.clip(dx, -(px - rx), px - rx)
-        dy = jnp.clip(dy, -(py - ry), py - ry)
 
-        def shift_views(dyi, dxi):
-            def one(img, sy, sx):
+        def shift_views(fyi, fxi):
+            return jax.vmap(
+                lambda img, fy, fx: blend_xla_trunc_window(
+                    img, fy, fx, px=px, py=py, h_out=h_out, w=w,
+                    ry=ry, rx=rx, row_start=row_start,
+                )
+            )(padded, fyi, fxi)
+
+        def supersets(fyi, fxi):
+            """Per-view superset windows covering all taps + the +1 reads."""
+            def one(img, fy, fx):
+                dyf = jnp.clip(jnp.floor(fy).astype(jnp.int32), -(py - ry), py - ry - 1)
+                dxf = jnp.clip(jnp.floor(fx).astype(jnp.int32), -(px - rx), px - rx - 1)
                 return lax.dynamic_slice(
                     img,
-                    (jnp.int32(0), py - ry + sy + row_start, px - rx + sx),
-                    (c, h_out + 2 * ry, w + 2 * rx),
+                    (jnp.int32(0), py - ry + dyf + row_start, px - rx + dxf),
+                    (c, h_out + 2 * ry + 1, w + 2 * rx + 1),
                 )
-            return jax.vmap(one)(padded, dyi, dxi)
+            return jax.vmap(one)(padded, fyi, fxi)
     else:
+        # exact taps need the pre-padded stack; without pad, degrade to the
+        # approximate path (test/legacy use only).
+        exact_taps = False
 
-        def shift_views(dyi, dxi):
+        def shift_views(fyi, fxi):
+            k_, c_, h_, w_ = selected.shape
+            dyi = jnp.clip(jnp.floor(fyi), -h_, h_).astype(jnp.int32)
+            dxi = jnp.clip(jnp.floor(fxi), -w_, w_).astype(jnp.int32)
             return jax.vmap(
                 lambda img, sy, sx: shift_clamped(img, sy, sx, pad_y=ry, pad_x=rx)
             )(selected, dyi, dxi)
 
-    def one_candidate(carry, inputs):
-        best_cost, best_idx, i = carry
-        dxi, dyi = inputs  # [K], [K]
-        shifted = shift_views(dyi, dxi)  # [K, C, h_out+2ry, W+2rx] uint8
+    def cost_fast(fxi, fyi):
+        """Hoisted min/max: taps are slices of one per-candidate cheby map."""
+        shifted = shift_views(fyi, fxi)  # [K, C, h_out+2ry, W+2rx] uint8
         mn = jnp.min(shifted, axis=0)
         mx = jnp.max(shifted, axis=0)
         cheby = jnp.max(mx - mn, axis=0).astype(jnp.int32)  # [h_out+2ry, W+2rx]
         cost = jnp.zeros((h_out, w), jnp.int32)
         for sx, sy in stencil:
-            cost = cost + lax.dynamic_slice(
-                cheby, (ry + sy, rx + sx), (h_out, w)
-            )
+            cost = cost + lax.dynamic_slice(cheby, (ry + sy, rx + sx), (h_out, w))
+        return cost
+
+    def cost_exact(fxi, fyi):
+        """Oracle-exact: per-cell min/max with the center-pixel trunc rule."""
+        sup = supersets(fyi, fxi)  # [K, C, h_out+2ry+1, w+2rx+1]
+        qy = (
+            lax.broadcasted_iota(jnp.int32, (h_out, 1), 0) + row_start
+        ).astype(jnp.float32)
+        qx = lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+        # [K, 1, h_out, 1] / [K, 1, 1, w]: ceil-vs-floor rule at the CENTER.
+        my = ((qy[None] < -fyi[:, None, None]) & (fyi != jnp.floor(fyi))[:, None, None])[:, None]
+        mx_m = ((qx[None] < -fxi[:, None, None]) & (fxi != jnp.floor(fxi))[:, None, None])[:, None]
+        cost = jnp.zeros((h_out, w), jnp.int32)
+        for sx, sy in stencil:
+            oy, ox = ry + sy, rx + sx
+            base = sup[:, :, oy : oy + h_out, ox : ox + w]
+            plus_y = sup[:, :, oy + 1 : oy + 1 + h_out, ox : ox + w]
+            plus_x = sup[:, :, oy : oy + h_out, ox + 1 : ox + 1 + w]
+            plus_xy = sup[:, :, oy + 1 : oy + 1 + h_out, ox + 1 : ox + 1 + w]
+            tap = jnp.where(
+                my & mx_m, plus_xy,
+                jnp.where(my, plus_y, jnp.where(mx_m, plus_x, base)),
+            )  # [K, C, h_out, w]
+            rng = jnp.max(tap, axis=0).astype(jnp.int16) - jnp.min(tap, axis=0).astype(jnp.int16)
+            cost = cost + jnp.max(rng, axis=0).astype(jnp.int32)
+        return cost
+
+    cost_fn = cost_exact if exact_taps else cost_fast
+
+    def one_candidate(carry, inputs):
+        best_cost, best_idx, i = carry
+        fxi, fyi = inputs  # [K], [K]
+        cost = cost_fn(fxi, fyi)
         better = cost < best_cost  # strict: first minimum wins, like MinDispersion
         best_cost = jnp.where(better, cost, best_cost)
         best_idx = jnp.where(better, i, best_idx)
@@ -155,7 +214,7 @@ def estimate_focus_map(
         jnp.zeros((h_out, w), jnp.int32),
         jnp.int32(0),
     )
-    (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, (dx, dy))
+    (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, (fxs, fys))
 
     best_focus = focus + step * best_idx.astype(jnp.float32)
     normalized = (best_focus - focus) / focus_range

@@ -156,10 +156,10 @@ def test_render_allfocus_quantized_matches_oracle(rng):
         )
     )
     diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
-    # floor-vs-trunc differs only where coord + f*offset < 0 (border band)
-    b = 8
-    assert diff[:, b:-b, b:-b, :].max() <= 1
-    assert (diff > 0).mean() < 0.05
+    # trunc_shifted_window reproduces the per-pixel truncation exactly, so
+    # the only differences are 1-LSB float accumulation-order effects.
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
 
 
 def test_render_allfocus_quantized_covers_all_levels(rng):

@@ -93,8 +93,9 @@ def test_round_half_away_jnp():
     np.testing.assert_array_equal(got, [1, 2, 3, -1, -2, 127, 128])
 
 
-def test_estimate_padded_path_matches_general(small_lf):
-    """The pre-padded fast path must equal the concat-based general path."""
+def test_estimate_padded_fast_matches_general(small_lf):
+    """The pre-padded approximate path must equal the concat-based general
+    path (both use the constant-floor tap rule)."""
     start_end = np.array([0.0, 0.0, 3.0, 3.0], dtype=np.float32)
     images, offsets, ids = _focus_setup(small_lf, start_end)
     radius, steps = (2, 2), 8
@@ -105,9 +106,31 @@ def test_estimate_padded_path_matches_general(small_lf):
     ))
     pad = focus.shift_pad_bound(offsets, 0.0, 0.5, radius, images.shape[1], images.shape[2])
     fast = np.asarray(focus.estimate_focus_map(
-        sel, soff, jnp.float32(0.0), jnp.float32(0.5), radius, steps=steps, pad=pad
+        sel, soff, jnp.float32(0.0), jnp.float32(0.5), radius, steps=steps,
+        pad=pad, exact_taps=False,
     ))
     np.testing.assert_array_equal(fast, base)
+
+
+def test_estimate_exact_taps_matches_oracle(small_lf):
+    """exact_taps=True must reproduce the oracle map bit-for-bit, including
+    the sign-boundary bands where the approximate rule flips argmins."""
+    start_end = np.array([0.0, 0.0, 3.0, 3.0], dtype=np.float32)
+    images, offsets, ids = _focus_setup(small_lf, start_end)
+    h, w = images.shape[1:3]
+    radius, steps = (2, 2), 8
+    fconf = (0.05, 0.5)  # mixed-sign shifts around the grid center
+    want = oracle.focus_map_estimate(
+        images, offsets, ids, fconf[0], fconf[1], radius, steps=steps
+    )
+    sel = blend_xla.to_planar(jnp.asarray(images))[jnp.asarray(ids)]
+    pad = focus.shift_pad_bound(offsets, fconf[0], fconf[1], radius, h, w)
+    got = np.asarray(focus.estimate_focus_map(
+        sel, jnp.asarray(offsets[ids]),
+        jnp.float32(fconf[0]), jnp.float32(fconf[1]), radius, steps=steps,
+        pad=pad, exact_taps=True,
+    ))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_shift_pad_bound_properties():
