@@ -102,9 +102,10 @@ def _fixed_step(planar, wm, offsets, h, w, method="TEN"):
             )
     else:
         weights = jnp.asarray(wm)
+        render = jax.jit(blend_xla.render_fixed)
 
         def step(i):
-            return blend_xla.render_fixed(planar, weights, fos[i])
+            return render(planar, weights, fos[i])
 
     return step, use_pallas
 
@@ -225,6 +226,8 @@ def bench_c5():
         ).astype(jnp.uint8)
 
     use_pallas = blend_pallas.is_available()
+    render_xla = jax.jit(blend_xla.render_fixed)
+    weights = jnp.asarray(wm)
 
     def step(i):
         frame = gen_frame(i)
@@ -233,7 +236,7 @@ def bench_c5():
             return blend_pallas.render_fixed_padded(
                 padded, weights2, fo, h=h, w=w, tile_h=tile_h, tile_w=tile_w
             )
-        return blend_xla.render_fixed(frame, jnp.asarray(wm), fo)
+        return render_xla(frame, weights, fo)
 
     runs = max(4, RUNS // 8)
     per = _throughput(step, runs)

@@ -186,6 +186,7 @@ class Interpolator:
                     filter_radius=filter_radius,
                     steps=cfg.focus_steps,
                     pad=pad,
+                    exact_taps=cfg.exact_focus_taps,
                 )
 
             views, maps = step()

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--focus-views", dest="focus_views", type=int, default=32,
         help="views used by the focus search (reference hard-codes 32)",
     )
+    p.add_argument(
+        "--fast-focus", action="store_true",
+        help="~5x faster focus estimation; may flip the chosen focus level "
+             "in a narrow band at per-view coordinate sign changes",
+    )
     p.add_argument("--quilt", action="store_true")
     p.add_argument("--json", action="store_true", dest="json_out")
     p.add_argument("--no-progress", action="store_true")
@@ -84,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             config=RenderConfig(
                 method=args.method, effect=args.effect, aspect=args.aspect,
                 focus_map_views=args.focus_views,
+                exact_focus_taps=not args.fast_focus,
             ),
             progress=progress,
         )

@@ -45,6 +45,11 @@ class RenderConfig:
     # Focus-map box filter radius = block_radius / filter_radius_divisor
     # (src/kernels.cu:266-268).
     filter_radius_divisor: int = 10
+    # Exact per-pixel truncation at every disparity-search stencil tap
+    # (bit-identical to the reference kernel). False trades a radius-wide
+    # band of possible argmin flips at coordinate sign changes for ~5x
+    # faster estimation (see ops/focus.py).
+    exact_focus_taps: bool = True
 
     # --- TPU kernel tuning (no reference equivalent; ours) ---
     tile_h: int = 8

@@ -28,6 +28,14 @@ def _with_alpha(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def _encode_atomic(name: str, image: np.ndarray) -> None:
+    """Write-then-rename so partially written frames never appear under the
+    final name (matters for the streaming pipeline's per-frame outputs)."""
+    tmp = name + ".tmp"
+    codec.encode_png(tmp, image)
+    os.replace(tmp, name)
+
+
 def write_views(
     path: str,
     views: np.ndarray,  # [V, H, W, 3|4] uint8
@@ -44,7 +52,7 @@ def write_views(
     digits = max(2, len(str(v_count - 1)))
     for i in range(v_count):
         name = os.path.join(path, f"{i:0{digits}d}.png")
-        codec.encode_png(name, _with_alpha(views[i]))
+        _encode_atomic(name, _with_alpha(views[i]))
         written.append(name)
         bar.add()
     if maps is not None:
@@ -54,7 +62,7 @@ def write_views(
             rgba = np.empty((*m.shape, 4), dtype=np.uint8)
             rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = m
             rgba[:, :, 3] = 255
-            codec.encode_png(name, rgba)
+            _encode_atomic(name, rgba)
             written.append(name)
             bar.add()
     bar.finish()

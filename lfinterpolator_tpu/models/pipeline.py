@@ -47,7 +47,9 @@ def render_fixed_focus(
 
 @partial(
     jax.jit,
-    static_argnames=("method", "radius", "filter_radius", "steps", "pad"),
+    static_argnames=(
+        "method", "radius", "filter_radius", "steps", "pad", "exact_taps"
+    ),
 )
 def render_all_focus(
     images: jnp.ndarray,  # [G, C, H, W] uint8
@@ -62,6 +64,7 @@ def render_all_focus(
     filter_radius: tuple[int, int] = (0, 0),
     steps: int = 32,
     pad: tuple[int, int] | None = None,
+    exact_taps: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All-in-focus render: estimate -> filter -> per-pixel blend.
 
@@ -79,7 +82,8 @@ def render_all_focus(
     selected = images[focus_ids]  # [K, C, H, W]
     sel_offsets = offsets[focus_ids]
     map0 = focus_ops.estimate_focus_map(
-        selected, sel_offsets, focus, focus_range, radius, steps=steps, pad=pad
+        selected, sel_offsets, focus, focus_range, radius,
+        steps=steps, pad=pad, exact_taps=exact_taps,
     )
     map1 = focus_ops.filter_focus_map(map0, filter_radius)
     if method == "STD":
