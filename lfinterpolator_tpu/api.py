@@ -74,6 +74,7 @@ class Interpolator:
         *,
         config: RenderConfig | None = None,
         progress: bool = True,
+        mesh=None,  # jax.sharding.Mesh with axes (view, space), or None
     ):
         self.config = config or RenderConfig()
         self.lf = (
@@ -86,11 +87,29 @@ class Interpolator:
                 f"Loaded {self.lf.cols}x{self.lf.rows} grid of "
                 f"{self.lf.width}x{self.lf.height} images"
             )
+        self.mesh = mesh
+        if mesh is not None:
+            n_space = mesh.shape["space"]
+            if self.lf.height % n_space != 0:
+                raise ValueError(
+                    f"Image height {self.lf.height} must divide by the mesh "
+                    f"space axis ({n_space}) for sharded rendering"
+                )
+            if self.config.view_count % mesh.shape["view"] != 0:
+                raise ValueError(
+                    f"view_count {self.config.view_count} must divide by the "
+                    f"mesh view axis ({mesh.shape['view']})"
+                )
         # One host->device upload of the planar RGB stack (the analogue of
-        # loadGPUData, src/interpolator.cu:95-137).
-        self.images = jax.device_put(
-            blend_xla.to_planar(jnp.asarray(self.lf.images))
-        )
+        # loadGPUData, src/interpolator.cu:95-137); replicated over the mesh
+        # when sharded rendering is requested.
+        planar = blend_xla.to_planar(jnp.asarray(self.lf.images))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.images = jax.device_put(planar, NamedSharding(mesh, P()))
+        else:
+            self.images = jax.device_put(planar)
         self._padded_cache: tuple[tuple[int, int], jnp.ndarray] | None = None
 
     # -- device data ------------------------------------------------------
@@ -148,7 +167,14 @@ class Interpolator:
         offsets = geometry.compute_offsets(
             lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
         )
-        weights = jnp.asarray(wm)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            weights = jax.device_put(
+                jnp.asarray(wm), NamedSharding(self.mesh, P("view", None))
+            )
+        else:
+            weights = jnp.asarray(wm)
         offsets_j = jnp.asarray(offsets)
 
         if cfg.uses_focus_map:
@@ -174,6 +200,23 @@ class Interpolator:
                 # The i-dependent epsilon keeps repeated benchmark runs from
                 # being deduplicated by execution-memoizing environments; it
                 # is far below the focus quantization step.
+                kwargs = dict(
+                    method=method_key,
+                    radius=radius,
+                    filter_radius=filter_radius,
+                    steps=cfg.focus_steps,
+                    pad=pad,
+                )
+                if self.mesh is not None:
+                    from .parallel import mesh as pmesh
+
+                    return pmesh.render_all_focus_sharded(
+                        self.mesh, self.images, weights, offsets_j,
+                        jnp.float32(cfg.focus + 1e-7 * i),
+                        jnp.float32(cfg.focus_range),
+                        jnp.asarray(ids),
+                        exact_taps=cfg.exact_focus_taps, **kwargs,
+                    )
                 return pipeline.render_all_focus(
                     self.images,
                     weights,
@@ -181,12 +224,8 @@ class Interpolator:
                     jnp.float32(cfg.focus + 1e-7 * i),
                     jnp.float32(cfg.focus_range),
                     jnp.asarray(ids),
-                    method=method_key,
-                    radius=radius,
-                    filter_radius=filter_radius,
-                    steps=cfg.focus_steps,
-                    pad=pad,
                     exact_taps=cfg.exact_focus_taps,
+                    **kwargs,
                 )
 
             views, maps = step()
@@ -200,7 +239,16 @@ class Interpolator:
                 )
 
             fo = fo_for(0)
-            if method_key == "TEN" and blend_pallas.is_available():
+            if self.mesh is not None:
+                from .parallel import mesh as pmesh
+
+                def step(i: int = 0):
+                    return pmesh.render_fixed_sharded(
+                        self.mesh, self.images, weights,
+                        fo if i == 0 else fo_for(i),
+                    )
+
+            elif method_key == "TEN" and blend_pallas.is_available():
                 tile_h, tile_w = blend_pallas.default_tile(
                     lf.grid_size, lf.width
                 )

@@ -94,7 +94,10 @@ def render_fixed_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "method", "radius", "filter_radius", "steps", "pad"),
+    static_argnames=(
+        "mesh", "method", "radius", "filter_radius", "steps", "pad",
+        "exact_taps",
+    ),
 )
 def render_all_focus_sharded(
     mesh: Mesh,
@@ -110,6 +113,7 @@ def render_all_focus_sharded(
     filter_radius: tuple[int, int] = (0, 0),
     steps: int = 32,
     pad: tuple[int, int] = (64, 64),
+    exact_taps: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full all-in-focus pipeline over the (view x space) mesh.
 
@@ -137,6 +141,7 @@ def render_all_focus_sharded(
         map0_l = focus_ops.estimate_focus_map(
             selected, sel_offsets, focus, focus_range, radius,
             steps=steps, pad=pad, row_start=row0, row_count=h_local,
+            exact_taps=exact_taps,
         )
         # Only cross-shard dependency: the filter halo. The map is tiny.
         map0_full = jax.lax.all_gather(map0_l, "space", tiled=True)

@@ -129,3 +129,48 @@ def test_sharded_all_focus_matches_unsharded(devices, small_lf):
         np.testing.assert_array_equal(
             np.asarray(got_views), np.asarray(want_views), err_msg=method
         )
+
+
+def test_interpolator_api_with_mesh(devices, tmp_path, small_lf):
+    """High-level Interpolator on a mesh matches the single-device result."""
+    from lfinterpolator_tpu.api import Interpolator
+    from lfinterpolator_tpu.core.config import RenderConfig
+    from lfinterpolator_tpu.io import codec, loader
+
+    images, (cols, rows) = small_lf
+    d = tmp_path / "scene"
+    d.mkdir()
+    for c in range(cols):
+        for r in range(rows):
+            codec.encode_png(str(d / f"{c:02d}_{r:02d}.png"), images[c * rows + r])
+
+    cfg = RenderConfig(view_count=8, focus_map_views=8, focus_steps=8)
+    single = Interpolator(str(d), config=cfg, progress=False)
+    m = pmesh.make_mesh(devices, view_parallel=2)
+    sharded = Interpolator(str(d), config=cfg, progress=False, mesh=m)
+
+    r1 = single.interpolate("0,0,1,1", focus=0.3, progress=False)
+    r2 = sharded.interpolate("0,0,1,1", focus=0.3, progress=False)
+    diff = np.abs(r1.views.astype(int) - r2.views.astype(int))
+    assert diff.max() <= 1  # accumulation-order only
+
+    r3 = single.interpolate("0,0,1,1", focus=0.0, focus_range=0.5, progress=False)
+    r4 = sharded.interpolate("0,0,1,1", focus=0.0, focus_range=0.5, progress=False)
+    np.testing.assert_array_equal(r3.maps, r4.maps)
+    diff = np.abs(r3.views.astype(int) - r4.views.astype(int))
+    assert diff.max() <= 1
+
+
+def test_interpolator_mesh_rejects_bad_height(devices, tmp_path, rng):
+    from lfinterpolator_tpu.api import Interpolator
+    from lfinterpolator_tpu.io import codec
+
+    d = tmp_path / "scene31"
+    d.mkdir()
+    img = rng.integers(0, 256, (31, 16, 4), dtype=np.uint8)  # 31 rows: indivisible
+    for c in range(2):
+        for r in range(2):
+            codec.encode_png(str(d / f"{c}_{r}.png"), img)
+    m = pmesh.make_mesh(devices, view_parallel=2)
+    with pytest.raises(ValueError, match="must divide"):
+        Interpolator(str(d), progress=False, mesh=m)
