@@ -242,6 +242,13 @@ class Interpolator:
             if self.mesh is not None:
                 from .parallel import mesh as pmesh
 
+                if method_key == "TEN" and progress:
+                    print(
+                        "Note: mesh-sharded rendering currently uses the XLA "
+                        "blend on every shard (the fused Pallas kernel is "
+                        "single-chip only)."
+                    )
+
                 def step(i: int = 0):
                     return pmesh.render_fixed_sharded(
                         self.mesh, self.images, weights,
@@ -284,6 +291,10 @@ class Interpolator:
                 t0 = time.perf_counter()
                 out = run(i + 1)
                 jax.block_until_ready(out)
+                # Tiny fetch: through tunneled devices block_until_ready alone
+                # has been observed to return early in some call patterns.
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                _ = np.asarray(leaf.reshape(-1)[:8])
                 run_times.append(time.perf_counter() - t0)
             if progress:
                 avg = 1000 * sum(run_times) / len(run_times)

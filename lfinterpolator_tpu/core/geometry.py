@@ -58,6 +58,8 @@ def generate_trajectory(start_end: np.ndarray, n_views: int) -> np.ndarray:
     start_end = np.asarray(start_end, dtype=np.float32)
     start = start_end[:2]
     end = start_end[2:]
+    if n_views == 1:  # a single view sits at the start (no step to divide by)
+        return start[None, :].astype(np.float32)
     step = (end - start) / np.float32(n_views - 1)
     i = np.arange(n_views, dtype=np.float32)[:, None]
     return (start[None, :] + step[None, :] * i).astype(np.float32)

@@ -82,16 +82,25 @@ def list_grid_files(path: str) -> dict[tuple[int, int], str]:
     if not entries:
         raise ValueError("The input directory is empty!")
     files: dict[tuple[int, int], str] = {}
+    skipped = []
     for name in entries:
         full = os.path.join(path, name)
         if not os.path.isfile(full):
+            continue
+        if _NAME_RE.match(name) is None:
+            # Stray files (.DS_Store, quilt.png, ...) don't abort the load of
+            # an otherwise complete grid.
+            skipped.append(name)
             continue
         coords = parse_filename(name)
         if coords in files:
             raise ValueError(f"Duplicate grid position {coords}: {name}")
         files[coords] = full
     if not files:
-        raise ValueError("The input directory is empty!")
+        raise ValueError(
+            "No grid images found: files must be named column_row.extension "
+            f"(e.g. 01_12.png). Ignored entries: {skipped[:8]}"
+        )
     return files
 
 

@@ -58,8 +58,12 @@ def shift_pad_bound(
     cands = [float(focus), float(focus) + float(focus_range)]
     mx = max(abs(f) * float(np.abs(offsets[:, 0]).max()) for f in cands)
     my = max(abs(f) * float(np.abs(offsets[:, 1]).max()) for f in cands)
-    px = min(int(np.ceil(mx)), w) + int(radius[0])
-    py = min(int(np.ceil(my)), h) + int(radius[1])
+    # +1: trunc_shifted_window fetches a (+1,+1) superset and clips the floor
+    # shift to pad-radius-1, so the bound must strictly exceed the max shift
+    # (an integral shift exactly at the bound would otherwise be clamped one
+    # pixel short, silently shifting the whole window).
+    px = min(int(np.ceil(mx)), w) + int(radius[0]) + 1
+    py = min(int(np.ceil(my)), h) + int(radius[1]) + 1
     rnd = lambda v: -(-v // bucket) * bucket
     return rnd(px), rnd(py)
 

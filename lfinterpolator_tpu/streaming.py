@@ -119,14 +119,17 @@ class StreamingRenderer:
             try:
                 for f in frames:
                     host_q.put(jax.device_put(blend_xla.to_planar(jnp.asarray(f))))
-            finally:
                 host_q.put(_SENTINEL)
+            except BaseException as e:  # forward to the consumer, don't truncate
+                host_q.put(e)
 
         threading.Thread(target=_feeder, daemon=True).start()
 
         pending: list[jnp.ndarray] = []  # dispatched, not yet fetched
         while True:
             item = host_q.get()
+            if isinstance(item, BaseException):
+                raise item
             if item is _SENTINEL:
                 break
             pending.append(self._render(item))

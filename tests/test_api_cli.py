@@ -36,12 +36,25 @@ def test_loader_missing_dir():
         loader.load_light_field("/nonexistent/path", progress=False)
 
 
-def test_loader_bad_filename(tmp_path):
+def test_loader_no_grid_files(tmp_path):
     d = tmp_path / "bad"
     d.mkdir()
     (d / "notagrid.png").write_bytes(b"x")
-    with pytest.raises(ValueError, match="not named properly"):
+    with pytest.raises(ValueError, match="No grid images found"):
         loader.load_light_field(str(d), progress=False)
+
+
+def test_loader_skips_stray_files(tmp_path, rng):
+    d = tmp_path / "stray"
+    d.mkdir()
+    img = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    for c in range(2):
+        for r in range(2):
+            codec.encode_png(str(d / f"{c}_{r}.png"), img)
+    (d / ".DS_Store").write_bytes(b"junk")
+    (d / "quilt.png").write_bytes(b"junk")
+    lf = loader.load_light_field(str(d), progress=False)
+    assert (lf.cols, lf.rows) == (2, 2)
 
 
 def test_loader_empty_dir(tmp_path):

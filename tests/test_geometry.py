@@ -131,3 +131,11 @@ def test_quantize_weights_f16_precision():
     q = geometry.quantize_weights_f16(w)
     assert q.dtype == np.float16
     assert np.abs(q.astype(np.float32) - w).max() < 1e-3
+
+
+def test_generate_trajectory_single_view():
+    pts = geometry.generate_trajectory(np.array([1.0, 2.0, 3.0, 4.0]), 1)
+    assert pts.shape == (1, 2)
+    np.testing.assert_allclose(pts[0], [1.0, 2.0])
+    w = geometry.weight_matrix(np.array([0.0, 0.0, 1.0, 1.0]), 2, 2, 3.0, 1)
+    assert np.isfinite(w).all()

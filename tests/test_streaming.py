@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 
 from lfinterpolator_tpu.core.config import RenderConfig
@@ -57,3 +59,16 @@ def test_render_to_dir(tmp_path, rng):
     for i in range(2):
         files = os.listdir(tmp_path / "stream" / f"frame_{i:05d}")
         assert len(files) == 2
+
+
+def test_stream_propagates_decode_errors(rng):
+    from lfinterpolator_tpu.streaming import StreamingRenderer
+    from lfinterpolator_tpu.core.config import RenderConfig
+
+    def frames():
+        yield rng.integers(0, 256, size=(4, 8, 16, 4), dtype=np.uint8)
+        raise RuntimeError("corrupt frame 2")
+
+    sr = StreamingRenderer(2, 2, 16, 8, "0,0,1,1", config=RenderConfig(view_count=2))
+    with pytest.raises(RuntimeError, match="corrupt frame 2"):
+        list(sr.render_stream(frames()))
