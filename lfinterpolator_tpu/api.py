@@ -240,20 +240,41 @@ class Interpolator:
 
             fo = fo_for(0)
             if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
                 from .parallel import mesh as pmesh
 
-                if method_key == "TEN" and progress:
-                    print(
-                        "Note: mesh-sharded rendering currently uses the XLA "
-                        "blend on every shard (the fused Pallas kernel is "
-                        "single-chip only)."
+                use_pallas = (
+                    method_key == "TEN"
+                    and blend_pallas.is_available()
+                    and lf.height % self.mesh.shape["space"] == 0
+                )
+                if use_pallas:
+                    tile_h, tile_w = blend_pallas.default_tile(
+                        lf.grid_size, lf.width
+                    )
+                    padded = jax.device_put(
+                        self._padded(tile_h, tile_w),
+                        NamedSharding(self.mesh, P()),
+                    )
+                    weights2 = jax.device_put(
+                        blend_pallas.split_weights(weights),
+                        NamedSharding(self.mesh, P(None, "view", None)),
                     )
 
-                def step(i: int = 0):
-                    return pmesh.render_fixed_sharded(
-                        self.mesh, self.images, weights,
-                        fo if i == 0 else fo_for(i),
-                    )
+                    def step(i: int = 0):
+                        return pmesh.render_fixed_sharded_pallas(
+                            self.mesh, padded, weights2,
+                            fo if i == 0 else fo_for(i),
+                            h=lf.height, w=lf.width,
+                            tile_h=tile_h, tile_w=tile_w,
+                        )
+                else:
+
+                    def step(i: int = 0):
+                        return pmesh.render_fixed_sharded(
+                            self.mesh, self.images, weights,
+                            fo if i == 0 else fo_for(i),
+                        )
 
             elif method_key == "TEN" and blend_pallas.is_available():
                 tile_h, tile_w = blend_pallas.default_tile(

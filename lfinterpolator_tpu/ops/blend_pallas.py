@@ -118,19 +118,30 @@ def window_starts(
     w: int,
     tile_h: int,
     tile_w: int,
+    row_start: jnp.ndarray | int = 0,
+    n_ti: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Scalar-prefetch tables sr [nTi, G], sc [nTj, G] of window starts."""
+    """Scalar-prefetch tables sr [n_ti, G], sc [nTj, G] of window starts.
+
+    `row_start`/`n_ti` select the tile rows covered (sharded row blocks);
+    `row_start` may be traced and need not be tile-aligned.
+    """
     h_ceil = -(-h // tile_h) * tile_h
     w_ceil = -(-w // tile_w) * tile_w
     hp, wp = h_ceil + 2 * tile_h, w_ceil + 2 * tile_w
-    n_ti, n_tj = h_ceil // tile_h, w_ceil // tile_w
+    if n_ti is None:
+        n_ti = h_ceil // tile_h
+    n_tj = w_ceil // tile_w
     dy = jnp.clip(focused_offsets[:, 1], -2 * h, 2 * h)
     dx = jnp.clip(focused_offsets[:, 0], -2 * w, 2 * w)
-    ti = jnp.arange(n_ti, dtype=jnp.int32)[:, None]
+    # absolute output row of tile i is row_start + i*tile_h
+    base_rows = jnp.asarray(row_start, jnp.int32) + (
+        jnp.arange(n_ti, dtype=jnp.int32)[:, None] * tile_h
+    )
     tj = jnp.arange(n_tj, dtype=jnp.int32)[:, None]
     # Exact starts in [0, hp-TH]; the kernel splits them into an aligned DMA
     # start (floor to the HBM tile) plus an in-kernel residual rotate.
-    sr = jnp.clip(ti * tile_h + dy[None, :] + tile_h, 0, hp - tile_h)
+    sr = jnp.clip(base_rows + dy[None, :] + tile_h, 0, hp - tile_h)
     sc = jnp.clip(tj * tile_w + dx[None, :] + tile_w, 0, wp - tile_w)
     return sr.astype(jnp.int32), sc.astype(jnp.int32)
 
@@ -197,7 +208,9 @@ def _blend_kernel(tile_h, tile_w, g_count, sr_ref, sc_ref, images_ref, w_ref,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "tile_h", "tile_w"))
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "tile_h", "tile_w", "row_count")
+)
 def render_fixed_padded(
     padded: jnp.ndarray,  # [G, C, Hp, Wp] uint8 (from pad_images)
     weights2: jnp.ndarray,  # [2, V, G] bfloat16 (from split_weights)
@@ -207,14 +220,26 @@ def render_fixed_padded(
     w: int,
     tile_h: int,
     tile_w: int,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
 ) -> jnp.ndarray:
-    """Fixed-focus fused blend on a pre-padded stack -> [V, C, H, W] uint8."""
+    """Fixed-focus fused blend on a pre-padded stack -> [V, C, H, W] uint8.
+
+    `row_start`/`row_count` (multiples of tile_h; `row_start` may be traced)
+    restrict the output to a block of rows -- used by mesh-sharded rendering,
+    where every shard runs this kernel on its own row block against the
+    replicated padded stack.
+    """
     g, c, hp, wp = padded.shape
     assert c == 3, "planar RGB expected"
     v = weights2.shape[1]
-    n_ti = (hp - 2 * tile_h - _SUB) // tile_h
+    h_out = h if row_count is None else int(row_count)
+    n_ti = -(-h_out // tile_h)
     n_tj = (wp - 2 * tile_w - _LANE) // tile_w
-    sr, sc = window_starts(focused_offsets, h, w, tile_h, tile_w)
+    sr, sc = window_starts(
+        focused_offsets, h, w, tile_h, tile_w,
+        row_start=row_start, n_ti=n_ti,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -238,13 +263,14 @@ def render_fixed_padded(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, c, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((v, c, h_out, w), jnp.uint8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=g * c * (n_ti * tile_h) * (n_tj * tile_w) + v * c * h * w,
+            bytes_accessed=g * c * (n_ti * tile_h) * (n_tj * tile_w)
+            + v * c * h_out * w,
             transcendentals=0,
         ),
         interpret=_interpret(),

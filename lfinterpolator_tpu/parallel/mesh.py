@@ -94,6 +94,53 @@ def render_fixed_sharded(
 
 @partial(
     jax.jit,
+    static_argnames=("mesh", "h", "w", "tile_h", "tile_w"),
+)
+def render_fixed_sharded_pallas(
+    mesh: Mesh,
+    padded: jnp.ndarray,  # [G, C, Hp, Wp] uint8 (blend_pallas.pad_images), replicated
+    weights2: jnp.ndarray,  # [2, V, G] bfloat16, sharded over "view" (dim 1)
+    focused_offsets: jnp.ndarray,  # [G, 2] int32, replicated
+    *,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+) -> jnp.ndarray:
+    """Fixed-focus render with the fused Pallas MXU kernel on every shard.
+
+    Each shard runs the single-chip kernel on its own row block (row_start
+    folded into the scalar-prefetched window-start tables) with its view-shard
+    of the weights -- same zero-communication layout as render_fixed_sharded,
+    but at the fused kernel's throughput. Requires H divisible by the space
+    axis; TPU (or interpret-mode) only.
+    """
+    from ..ops import blend_pallas
+
+    n_space = mesh.shape["space"]
+    if h % n_space != 0:
+        raise ValueError(f"H={h} must divide by the space axis ({n_space})")
+    h_local = h // n_space
+
+    def local_render(padded_l, weights2_l, offs_l):
+        row0 = jax.lax.axis_index("space") * h_local
+        return blend_pallas.render_fixed_padded(
+            padded_l, weights2_l, offs_l,
+            h=h, w=w, tile_h=tile_h, tile_w=tile_w,
+            row_start=row0, row_count=h_local,
+        )
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P(None, "view", None), P()),
+        out_specs=P("view", None, "space", None),
+        check_vma=False,
+    )(padded, weights2, focused_offsets)
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "mesh", "method", "radius", "filter_radius", "steps", "pad",
         "exact_taps",

@@ -174,3 +174,35 @@ def test_interpolator_mesh_rejects_bad_height(devices, tmp_path, rng):
     m = pmesh.make_mesh(devices, view_parallel=2)
     with pytest.raises(ValueError, match="must divide"):
         Interpolator(str(d), progress=False, mesh=m)
+
+
+def test_sharded_pallas_kernel_matches_full(devices, monkeypatch):
+    """Fused Pallas kernel per shard (interpret mode) == single full render."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lfinterpolator_tpu.ops import blend_pallas as bp
+    from lfinterpolator_tpu.core import geometry
+
+    rng = np.random.default_rng(3)
+    g, h, w, v = 4, 32, 96, 8
+    images = rng.integers(0, 256, (g, h, w, 4), np.uint8)
+    se = np.array([0, 0, 1, 1], np.float32)
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, 2, 2, 3.0, v)
+    ).astype(np.float32)
+    off = geometry.compute_offsets(2, 2, w, h, 1.0, geometry.trajectory_center(se))
+    fo = jnp.asarray(geometry.focused_offsets(off, 0.35))
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    th, tw = 8, 128
+    padded = jax.jit(bp.pad_images, static_argnums=(1, 2))(planar, th, tw)
+    w2 = bp.split_weights(jnp.asarray(wm))
+    full = np.asarray(
+        bp.render_fixed_padded(padded, w2, fo, h=h, w=w, tile_h=th, tile_w=tw)
+    )
+    m = pmesh.make_mesh(devices, view_parallel=2)
+    padded_r = jax.device_put(padded, NamedSharding(m, P()))
+    w2_s = jax.device_put(w2, NamedSharding(m, P(None, "view", None)))
+    out = pmesh.render_fixed_sharded_pallas(
+        m, padded_r, w2_s, fo, h=h, w=w, tile_h=th, tile_w=tw
+    )
+    np.testing.assert_array_equal(np.asarray(out), full)
