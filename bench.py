@@ -88,7 +88,7 @@ def _fixed_step(planar, wm, offsets, h, w, method="TEN"):
         for i in range(RUNS + WARMUP + 1)
     ]
     if use_pallas:
-        tile_h, tile_w = blend_pallas.default_tile(g, w)
+        tile_h, tile_w = blend_pallas.default_tile(g, w, v=64)
         padded = jax.block_until_ready(
             jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))(
                 planar, tile_h, tile_w
@@ -215,7 +215,7 @@ def bench_c5():
         cols, rows, w, h, 1.0, geometry.trajectory_center(start_end)
     )
     fo = jnp.asarray(geometry.focused_offsets(offsets, 0.25))
-    tile_h, tile_w = blend_pallas.default_tile(g, w)
+    tile_h, tile_w = blend_pallas.default_tile(g, w, v=64)
     weights2 = blend_pallas.split_weights(jnp.asarray(wm))
     pad_fn = jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))
 

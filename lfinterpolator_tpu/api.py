@@ -250,7 +250,7 @@ class Interpolator:
                 )
                 if use_pallas:
                     tile_h, tile_w = blend_pallas.default_tile(
-                        lf.grid_size, lf.width
+                        lf.grid_size, lf.width, v=cfg.view_count
                     )
                     padded = jax.device_put(
                         self._padded(tile_h, tile_w),
@@ -278,7 +278,7 @@ class Interpolator:
 
             elif method_key == "TEN" and blend_pallas.is_available():
                 tile_h, tile_w = blend_pallas.default_tile(
-                    lf.grid_size, lf.width
+                    lf.grid_size, lf.width, v=cfg.view_count
                 )
                 padded = self._padded(tile_h, tile_w)
                 weights2 = blend_pallas.split_weights(weights)

@@ -61,16 +61,25 @@ def _interpret() -> bool:
 _N_BUF = 8
 
 
-def default_tile(g: int, w: int) -> tuple[int, int]:
+def default_tile(g: int, w: int, v: int = 64) -> tuple[int, int]:
     """Pick (TILE_H, TILE_W).
 
     Wide, short tiles minimize the number of per-image window DMAs (the
-    bottleneck) while keeping the stage buffer (G * C*TH * TW * 2B) and the
-    output block within VMEM.
+    bottleneck) while keeping the VMEM working set -- the bf16 stage
+    (G*C*TH*TW*2B), the double-buffered output block (2*V*C*TH*TW), and the
+    DMA ring -- within budget.
     """
     tile_h = 8
     tile_w = 2048
-    while g * 3 * tile_h * tile_w * 2 > 8 * 1024 * 1024 and tile_w > 128:
+    budget = 12 * 1024 * 1024
+
+    def vmem_bytes(tw):
+        stage = g * 3 * tile_h * tw * 2
+        out_blocks = 2 * v * 3 * tile_h * tw
+        ring = _N_BUF * 3 * (tile_h + _SUB) * (tw + _LANE)
+        return stage + out_blocks + ring
+
+    while vmem_bytes(tile_w) > budget and tile_w > 128:
         tile_w //= 2
     tile_w = min(tile_w, max(128, -(-w // 128) * 128))
     return tile_h, tile_w
@@ -288,7 +297,7 @@ def render_fixed(
     render_fixed_padded().
     """
     g, c, h, w = images.shape
-    tile_h, tile_w = default_tile(g, w)
+    tile_h, tile_w = default_tile(g, w, v=weights.shape[0])
     padded = pad_images(images, tile_h, tile_w)
     return render_fixed_padded(
         padded,

@@ -86,7 +86,9 @@ class StreamingRenderer:
             self.cfg.method in ("TEN", "TEN_WM") and blend_pallas.is_available()
         )
         if self._use_pallas:
-            self._tile = blend_pallas.default_tile(cols * rows, width)
+            self._tile = blend_pallas.default_tile(
+                cols * rows, width, v=self.cfg.view_count
+            )
             self._weights2 = blend_pallas.split_weights(self.weights)
             self._pad = jax.jit(
                 blend_pallas.pad_images, static_argnums=(1, 2), donate_argnums=(0,)
