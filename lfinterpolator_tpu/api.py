@@ -329,6 +329,88 @@ class Interpolator:
             views=views_np, maps=maps_np, run_times_s=run_times, config=cfg
         )
 
+    def interpolate_batch(
+        self,
+        trajectories: list[str],
+        *,
+        focus: float = 0.0,
+        method: str | None = None,
+        effect: float | None = None,
+        aspect: float | None = None,
+        progress: bool = True,
+    ) -> list[RenderResult]:
+        """Render several trajectories in ONE fused pass (fixed focus).
+
+        The blend is bandwidth-bound on reading the image stack, so stacking
+        the trajectories' weight matrices into one [n*V, G] matrix makes the
+        extra trajectories nearly free: every source pixel is read once for
+        all of them. (No reference equivalent -- the CUDA tool renders one
+        trajectory per process.)
+        """
+        cfg = dataclasses.replace(
+            self.config,
+            focus=focus,
+            method=(method or self.config.method),
+            effect=(effect if effect is not None else self.config.effect),
+            aspect=(aspect if aspect is not None else self.config.aspect),
+        )
+        cfg.validate()
+        method_key = "TEN" if cfg.method in ("TEN", "TEN_WM") else "STD"
+        lf = self.lf
+
+        parsed = [
+            geometry.parse_trajectory(t, lf.cols_rows) for t in trajectories
+        ]
+        # The per-image shifts depend only on the trajectory CENTER, so one
+        # fused pass is exact iff all trajectories share it (same path with
+        # different spans/effects, symmetric sweeps, ...).
+        centers = np.stack([geometry.trajectory_center(se) for se in parsed])
+        if not np.allclose(centers, centers[0], atol=1e-5):
+            raise ValueError(
+                "interpolate_batch requires all trajectories to share one "
+                f"center (shift geometry); got centers {centers.tolist()}. "
+                "Render differing centers with separate interpolate() calls."
+            )
+        center = centers[0]
+        offsets = geometry.compute_offsets(
+            lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
+        )
+        wms = [
+            geometry.quantize_weights_f16(
+                geometry.weight_matrix(
+                    se, lf.cols, lf.rows, cfg.effect, cfg.view_count
+                )
+            ).astype(np.float32)
+            for se in parsed
+        ]
+        big = jnp.asarray(np.concatenate(wms, axis=0))  # [n*V, G]
+        fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
+
+        if method_key == "TEN" and blend_pallas.is_available():
+            tile_h, tile_w = blend_pallas.default_tile(
+                lf.grid_size, lf.width, v=big.shape[0]
+            )
+            padded = self._padded(tile_h, tile_w)
+            views = blend_pallas.render_fixed_padded(
+                padded, blend_pallas.split_weights(big), fo,
+                h=lf.height, w=lf.width, tile_h=tile_h, tile_w=tile_w,
+            )
+        else:
+            views = pipeline.render_fixed_focus(
+                self.images, big, fo, method=method_key
+            )
+        views_np = np.asarray(blend_xla.from_planar(views))
+        v = cfg.view_count
+        return [
+            RenderResult(
+                views=views_np[i * v : (i + 1) * v],
+                maps=None,
+                run_times_s=[],
+                config=cfg,
+            )
+            for i in range(len(trajectories))
+        ]
+
 
 def interpolate(
     input_path: str,

@@ -161,3 +161,24 @@ def test_cli_bad_input_path(tmp_path, capsys):
         ["-i", "/nonexistent", "-o", str(tmp_path), "-t", "0,0,1,1", "-m", "STD"]
     )
     assert rc == 1
+
+
+def test_interpolate_batch_matches_individual(scene_dir):
+    d, _, _ = scene_dir
+    interp = Interpolator(d, config=RenderConfig(view_count=4), progress=False)
+    trajs = ["0.0,0.0,1.0,1.0", "0.2,0.2,0.8,0.8", "0.5,0.5,0.5,0.5"]
+    batch = interp.interpolate_batch(trajs, focus=0.3, progress=False)
+    assert len(batch) == 3
+    # All three share the grid center, so every entry is exact vs its solo run.
+    for t, res in zip(trajs, batch):
+        solo = interp.interpolate(t, focus=0.3, progress=False)
+        np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
+
+
+def test_interpolate_batch_rejects_mixed_centers(scene_dir):
+    d, _, _ = scene_dir
+    interp = Interpolator(d, config=RenderConfig(view_count=4), progress=False)
+    with pytest.raises(ValueError, match="share one center"):
+        interp.interpolate_batch(
+            ["0.0,0.0,1.0,1.0", "0.0,0.0,0.5,0.5"], progress=False
+        )
