@@ -149,14 +149,53 @@ class StreamingRenderer:
         *,
         writers: int = 4,
         progress: bool = False,
+        resume: bool = False,
     ) -> StreamStats:
         """Render a stream and write each frame's views under
-        output_dir/frame_%05d/ with a background writer pool."""
+        output_dir/frame_%05d/ with a background writer pool.
+
+        With `resume=True`, frames whose output directory already holds the
+        full view count are skipped (PNG writes are atomic, so a complete
+        directory means a complete frame) -- restartable long video jobs.
+        """
+        import os
+
         t0 = time.perf_counter()
         n = 0
+        skipped = 0
+
+        def _complete(i: int) -> bool:
+            d = f"{output_dir}/frame_{i:05d}"
+            return (
+                os.path.isdir(d)
+                and sum(f.endswith(".png") for f in os.listdir(d))
+                >= self.cfg.view_count
+            )
+
+        def _filtered():
+            nonlocal skipped
+            for i, f in enumerate(frames):
+                if resume and _complete(i):
+                    skipped += 1
+                    yield i, None
+                else:
+                    yield i, f
+
         with concurrent.futures.ThreadPoolExecutor(max_workers=writers) as pool:
             futures = []
-            for i, views in enumerate(self.render_stream(frames)):
+            # Index handoff: render_stream preserves order, and the feeder
+            # thread appends an index (GIL-atomic) strictly before the frame
+            # can produce an output, so pop(0) pairs outputs with indices.
+            pending_idx = []
+
+            def frame_gen():
+                for i, f in _filtered():
+                    if f is not None:
+                        pending_idx.append(i)
+                        yield f
+
+            for views in self.render_stream(frame_gen()):
+                i = pending_idx.pop(0)
                 futures.append(
                     pool.submit(
                         writer.write_views,
@@ -168,4 +207,4 @@ class StreamingRenderer:
                 n += 1
             for f in futures:
                 f.result()
-        return StreamStats(frames=n, total_s=time.perf_counter() - t0)
+        return StreamStats(frames=n + skipped, total_s=time.perf_counter() - t0)

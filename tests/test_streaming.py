@@ -72,3 +72,22 @@ def test_stream_propagates_decode_errors(rng):
     sr = StreamingRenderer(2, 2, 16, 8, "0,0,1,1", config=RenderConfig(view_count=2))
     with pytest.raises(RuntimeError, match="corrupt frame 2"):
         list(sr.render_stream(frames()))
+
+
+def test_render_to_dir_resume_skips_complete_frames(tmp_path, rng):
+    frames = [
+        rng.integers(0, 256, size=(4, 12, 16, 4), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    sr = StreamingRenderer(
+        2, 2, 16, 12, "0,0,1,1", config=RenderConfig(view_count=2)
+    )
+    out = str(tmp_path / "resume")
+    stats1 = sr.render_to_dir(iter(frames[:2]), out)
+    assert stats1.frames == 2
+    # restart with all 3 frames: the first two are complete and skipped,
+    # but indices still line up (frame 2 renders into frame_00002)
+    stats2 = sr.render_to_dir(iter(frames), out, resume=True)
+    assert stats2.frames == 3
+    assert sorted(os.listdir(out)) == ["frame_00000", "frame_00001", "frame_00002"]
+    assert len(os.listdir(tmp_path / "resume" / "frame_00002")) == 2
