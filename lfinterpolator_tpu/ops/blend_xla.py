@@ -78,6 +78,28 @@ def shift_clamped(
     return shift_axis_clamped(out, dx, axis=2, pad=pad_x)
 
 
+def trunc_offsets(
+    q: jnp.ndarray,  # integer output coordinates (as f32-exact ints), [N, 1] or [1, N]
+    f: jnp.ndarray,  # scalar fractional shift (focus * offset component), f32
+) -> jnp.ndarray:
+    """Per-coordinate delta of the oracle's truncated coordinate vs q+floor(f).
+
+    The reference (and the oracle) compute `int(coord + shift)` -- a SINGLE
+    f32 addition, rounded, then truncated toward zero (focusCoords,
+    src/kernels.cu:78-82). Because the addition rounds, the result is NOT
+    always q + floor(f): near integer boundaries the rounded sum can cross
+    them in either direction, and negative values truncate upward. This
+    computes d = trunc(f32(q + f)) - (q + floor(f)) elementwise with the
+    oracle's own expression; d is in {-1, 0, 1}.
+    """
+    qf = q.astype(jnp.float32)
+    t = jnp.trunc(qf + f)  # the oracle's coordinate, exactly
+    # |d| <= 1 mathematically; the clip guards degenerate huge-shift values
+    # where the f32 re-association here could wobble (those configurations
+    # read edge-clamped pixels whatever d is).
+    return jnp.clip((t - (qf + jnp.floor(f))).astype(jnp.int32), -1, 1)
+
+
 def trunc_shifted_window(
     padded: jnp.ndarray,  # [C, H+2py, W+2px] edge-padded image
     fy: jnp.ndarray,  # true fractional row shift (focus * offset_y), f32
@@ -95,39 +117,44 @@ def trunc_shifted_window(
 
     out[qy, qx] = img[clip(int(Y + fy), 0, H-1), clip(int(X + fx), 0, W-1)]
     for output coords qy in [row_start-ry, row_start+h_out+ry),
-    qx in [-rx, w+rx), where int() truncates toward zero like the reference's
-    focusCoords cast (src/kernels.cu:78-82): floor for X+fx >= 0, floor+1
-    (ceil) for negative non-integer values. Implemented as ONE dynamic slice
-    of a (+1 row, +1 col) superset window plus per-row/column selects -- no
-    gathers, and bit-exact against the oracle (the constant-floor
-    approximation is wrong wherever coordinates go negative).
+    qx in [-rx, w+rx), where int(Y + fy) is evaluated exactly as the
+    reference's focusCoords cast does (src/kernels.cu:78-82): one rounded f32
+    addition, truncated toward zero. Implemented as ONE dynamic slice of a
+    (+1 each side) superset window plus per-row/column 3-way selects driven
+    by the oracle's own trunc expression (see trunc_offsets) -- no gathers,
+    bit-exact including f32 rounding at integer boundaries.
     """
     c = padded.shape[0]
-    dyf = jnp.clip(jnp.floor(fy).astype(jnp.int32), -(py - ry), py - ry - 1)
-    dxf = jnp.clip(jnp.floor(fx).astype(jnp.int32), -(px - rx), px - rx - 1)
+    dyf = jnp.clip(jnp.floor(fy).astype(jnp.int32), -(py - ry - 1), py - ry - 1)
+    dxf = jnp.clip(jnp.floor(fx).astype(jnp.int32), -(px - rx - 1), px - rx - 1)
     row_start = jnp.asarray(row_start, jnp.int32)
     sup = lax.dynamic_slice(
         padded,
-        (jnp.int32(0), py - ry + dyf + row_start, px - rx + dxf),
-        (c, h_out + 2 * ry + 1, w + 2 * rx + 1),
+        (jnp.int32(0), py - ry + dyf + row_start - 1, px - rx + dxf - 1),
+        (c, h_out + 2 * ry + 2, w + 2 * rx + 2),
     )
-    base = sup[:, :-1, :-1]
-    plus_y = sup[:, 1:, :-1]
-    plus_x = sup[:, :-1, 1:]
-    plus_xy = sup[:, 1:, 1:]
     qy = (
-        lax.broadcasted_iota(jnp.int32, (h_out + 2 * ry, 1), 0)
-        - ry
-        + row_start
-    ).astype(jnp.float32)
-    qx = (
-        lax.broadcasted_iota(jnp.int32, (1, w + 2 * rx), 1) - rx
-    ).astype(jnp.float32)
-    # trunc(t) = floor(t) + 1 for negative non-integer t (ceil).
-    my = ((qy < -fy) & (fy != jnp.floor(fy)))[None]  # [1, Hout, 1]
-    mx = ((qx < -fx) & (fx != jnp.floor(fx)))[None]  # [1, 1, Wout]
-    return jnp.where(
-        my & mx, plus_xy, jnp.where(my, plus_y, jnp.where(mx, plus_x, base))
+        lax.broadcasted_iota(jnp.int32, (h_out + 2 * ry, 1), 0) - ry + row_start
+    )
+    qx = lax.broadcasted_iota(jnp.int32, (1, w + 2 * rx), 1) - rx
+    dy = trunc_offsets(qy, fy)[None]  # [1, Hout, 1] in {-1, 0, 1}
+    dx = trunc_offsets(qx, fx)[None]  # [1, 1, Wout]
+
+    def pick_rows(off):  # rows at 1+off relative to the superset origin
+        return lambda cols0: sup[:, 1 + off : 1 + off + h_out + 2 * ry,
+                                 cols0 : cols0 + w + 2 * rx]
+
+    def sel_axis(d, minus, base, plus):
+        return jnp.where(d == 1, plus, jnp.where(d == -1, minus, base))
+
+    def col_select(rowsel):
+        return sel_axis(dx, rowsel(0), rowsel(1), rowsel(2))
+
+    return sel_axis(
+        dy,
+        col_select(pick_rows(-1)),
+        col_select(pick_rows(0)),
+        col_select(pick_rows(1)),
     )
 
 
@@ -243,26 +270,29 @@ def render_allfocus_quantized(
 
         def shift_all(fyi, fxi):
             def one(img, fy, fx):
-                # general path: floor-shift with clamp, then the +1 trunc
+                # general path: floor-shift with clamp; the +-1 truncation
                 # correction reads come from the +-1 halo of the same window
                 sh = shift_clamped(
                     img,
-                    jnp.clip(jnp.floor(fy), -h, h).astype(jnp.int32),
-                    jnp.clip(jnp.floor(fx), -w, w).astype(jnp.int32),
+                    jnp.clip(jnp.floor(fy), -h - 1, h).astype(jnp.int32),
+                    jnp.clip(jnp.floor(fx), -w - 1, w).astype(jnp.int32),
                     pad_y=1, pad_x=1,
                 )  # [C, h+2, w+2]
-                qy = lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
-                qx = lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
-                my = ((qy < -fy) & (fy != jnp.floor(fy)))[None]
-                mx = ((qx < -fx) & (fx != jnp.floor(fx)))[None]
-                base = sh[:, 1:-1, 1:-1]
-                plus_y = sh[:, 2:, 1:-1]
-                plus_x = sh[:, 1:-1, 2:]
-                plus_xy = sh[:, 2:, 2:]
-                return jnp.where(
-                    my & mx, plus_xy,
-                    jnp.where(my, plus_y, jnp.where(mx, plus_x, base)),
-                )
+                qy = lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+                qx = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+                dyo = trunc_offsets(qy, fy)[None]
+                dxo = trunc_offsets(qx, fx)[None]
+
+                def sel(d, minus, base, plus):
+                    return jnp.where(d == 1, plus, jnp.where(d == -1, minus, base))
+
+                def rows(off):
+                    return lambda c0: sh[:, 1 + off : 1 + off + h, c0 : c0 + w]
+
+                def cols(r):
+                    return sel(dxo, r(0), r(1), r(2))
+
+                return sel(dyo, cols(rows(-1)), cols(rows(0)), cols(rows(1)))
 
             return jax.vmap(one)(images, fyi, fxi)
 

@@ -35,7 +35,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .blend_xla import shift_clamped, trunc_shifted_window as blend_xla_trunc_window
+from .blend_xla import (
+    shift_clamped,
+    trunc_offsets,
+    trunc_shifted_window as blend_xla_trunc_window,
+)
 
 
 def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
@@ -58,12 +62,14 @@ def shift_pad_bound(
     cands = [float(focus), float(focus) + float(focus_range)]
     mx = max(abs(f) * float(np.abs(offsets[:, 0]).max()) for f in cands)
     my = max(abs(f) * float(np.abs(offsets[:, 1]).max()) for f in cands)
-    # +1: trunc_shifted_window fetches a (+1,+1) superset and clips the floor
-    # shift to pad-radius-1, so the bound must strictly exceed the max shift
+    # +2: trunc_shifted_window fetches a (+-1) superset and clips the floor
+    # shift inside the pad, so the bound must strictly exceed the max shift
     # (an integral shift exactly at the bound would otherwise be clamped one
-    # pixel short, silently shifting the whole window).
-    px = min(int(np.ceil(mx)), w) + int(radius[0]) + 1
-    py = min(int(np.ceil(my)), h) + int(radius[1]) + 1
+    # pixel short, silently shifting the whole window). Cap at dim+radius+2,
+    # NOT dim: a clipped shift must still push every stencil tap (+-radius)
+    # past the border for the clamp to be equivalent.
+    px = min(int(np.ceil(mx)), w + int(radius[0]) + 2) + int(radius[0]) + 2
+    py = min(int(np.ceil(my)), h + int(radius[1]) + 2) + int(radius[1]) + 2
     rnd = lambda v: -(-v // bucket) * bucket
     return rnd(px), rnd(py)
 
@@ -143,20 +149,27 @@ def estimate_focus_map(
             )(padded, fyi, fxi)
 
         def supersets(fyi, fxi):
-            """Per-view superset windows covering all taps + the +1 reads."""
+            """Per-view superset windows covering all taps + the +-1 reads."""
             def one(img, fy, fx):
-                dyf = jnp.clip(jnp.floor(fy).astype(jnp.int32), -(py - ry), py - ry - 1)
-                dxf = jnp.clip(jnp.floor(fx).astype(jnp.int32), -(px - rx), px - rx - 1)
+                dyf = jnp.clip(
+                    jnp.floor(fy).astype(jnp.int32), -(py - ry - 1), py - ry - 1
+                )
+                dxf = jnp.clip(
+                    jnp.floor(fx).astype(jnp.int32), -(px - rx - 1), px - rx - 1
+                )
                 return lax.dynamic_slice(
                     img,
-                    (jnp.int32(0), py - ry + dyf + row_start, px - rx + dxf),
-                    (c, h_out + 2 * ry + 1, w + 2 * rx + 1),
+                    (jnp.int32(0), py - ry + dyf + row_start - 1, px - rx + dxf - 1),
+                    (c, h_out + 2 * ry + 2, w + 2 * rx + 2),
                 )
             return jax.vmap(one)(padded, fyi, fxi)
     else:
-        # exact taps need the pre-padded stack; without pad, degrade to the
-        # approximate path (test/legacy use only).
-        exact_taps = False
+        if exact_taps:
+            raise ValueError(
+                "exact_taps requires the pre-padded fast path: pass pad= "
+                "(see shift_pad_bound), or explicitly request the "
+                "approximate rule with exact_taps=False"
+            )
 
         def shift_views(fyi, fxi):
             k_, c_, h_, w_ = selected.shape
@@ -178,28 +191,40 @@ def estimate_focus_map(
         return cost
 
     def cost_exact(fxi, fyi):
-        """Oracle-exact: per-cell min/max with the center-pixel trunc rule."""
-        sup = supersets(fyi, fxi)  # [K, C, h_out+2ry+1, w+2rx+1]
-        qy = (
-            lax.broadcasted_iota(jnp.int32, (h_out, 1), 0) + row_start
-        ).astype(jnp.float32)
-        qx = lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
-        # [K, 1, h_out, 1] / [K, 1, 1, w]: ceil-vs-floor rule at the CENTER.
-        my = ((qy[None] < -fyi[:, None, None]) & (fyi != jnp.floor(fyi))[:, None, None])[:, None]
-        mx_m = ((qx[None] < -fxi[:, None, None]) & (fxi != jnp.floor(fxi))[:, None, None])[:, None]
+        """Oracle-exact: per-cell min/max, truncation evaluated at the CENTER
+        pixel with the oracle's own rounded-f32 expression (trunc_offsets)."""
+        sup = supersets(fyi, fxi)  # [K, C, h_out+2ry+2, w+2rx+2], origin -1
+        qy = lax.broadcasted_iota(jnp.int32, (h_out, 1), 0) + row_start
+        qx = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        # d in {-1,0,1} per (view, center row/col): [K, 1, h_out, 1] / [K, 1, 1, w]
+        dys = jax.vmap(lambda f: trunc_offsets(qy, f))(fyi)[:, None]
+        dxs = jax.vmap(lambda f: trunc_offsets(qx, f))(fxi)[:, None]
+
+        def sel(d, minus, base, plus):
+            return jnp.where(d == 1, plus, jnp.where(d == -1, minus, base))
+
         cost = jnp.zeros((h_out, w), jnp.int32)
-        for sx, sy in stencil:
-            oy, ox = ry + sy, rx + sx
-            base = sup[:, :, oy : oy + h_out, ox : ox + w]
-            plus_y = sup[:, :, oy + 1 : oy + 1 + h_out, ox : ox + w]
-            plus_x = sup[:, :, oy : oy + h_out, ox + 1 : ox + 1 + w]
-            plus_xy = sup[:, :, oy + 1 : oy + 1 + h_out, ox + 1 : ox + 1 + w]
-            tap = jnp.where(
-                my & mx_m, plus_xy,
-                jnp.where(my, plus_y, jnp.where(mx_m, plus_x, base)),
-            )  # [K, C, h_out, w]
-            rng = jnp.max(tap, axis=0).astype(jnp.int16) - jnp.min(tap, axis=0).astype(jnp.int16)
-            cost = cost + jnp.max(rng, axis=0).astype(jnp.int32)
+        for sy in (-ry, 0, ry):
+            oy = ry + 1 + sy
+            # Row-rule select hoisted across the 3 sx cells of this row.
+            rows = sel(
+                dys,
+                sup[:, :, oy - 1 : oy - 1 + h_out, :],
+                sup[:, :, oy : oy + h_out, :],
+                sup[:, :, oy + 1 : oy + 1 + h_out, :],
+            )  # [K, C, h_out, w+2rx+2]
+            for sx in (-rx, 0, rx):
+                ox = rx + 1 + sx
+                tap = sel(
+                    dxs,
+                    rows[:, :, :, ox - 1 : ox - 1 + w],
+                    rows[:, :, :, ox : ox + w],
+                    rows[:, :, :, ox + 1 : ox + 1 + w],
+                )  # [K, C, h_out, w]
+                rng = jnp.max(tap, axis=0).astype(jnp.int16) - jnp.min(
+                    tap, axis=0
+                ).astype(jnp.int16)
+                cost = cost + jnp.max(rng, axis=0).astype(jnp.int32)
         return cost
 
     cost_fn = cost_exact if exact_taps else cost_fast

@@ -16,6 +16,15 @@ Semantics reproduced exactly:
     over 32 selected views (src/kernels.cu:164-258)
   * the asymmetric [c-r, c+r) box filter of the focus map (src/kernels.cu:260-280)
 
+Known semantic pin: per-pixel focus coordinates are computed as
+trunc(f32(coord) + f32(focus*offset)) -- two roundings (multiply, then add).
+nvcc's default FMA contraction could compile the reference's
+`coords.x + focus * offset.x` (src/kernels.cu:81) to a single-rounding fmaf,
+which would differ from this oracle in the rare case where the product lies
+within half an ulp of an integer boundary. Without CUDA hardware this cannot
+be verified; the mul-then-add semantics are pinned here and every fast path
+matches THEM bit-for-bit.
+
 Conscious fixes (documented deviations):
   * outputs are clipped to [0, 255] before the uint8 cast -- the reference's
     uchar cast wraps on overflow, which can only happen through fp16 weight

@@ -205,3 +205,79 @@ def test_render_allfocus_quantized_padded_matches_unpadded(rng):
         blend_xla.render_allfocus_quantized(*args, steps=steps, pad=(64, 64))
     )
     np.testing.assert_array_equal(fast, base)
+
+
+def test_trunc_shifted_window_f32_rounding_adversarial(rng):
+    """The oracle truncates the ROUNDED f32 sum coord+shift; shifts within an
+    ulp of an integer must reproduce that, not floor(shift)+correction
+    (regression for a review finding: a shift of nextafter(2.0, 0) moved the
+    whole frame one source row)."""
+    import math
+
+    img = rng.integers(0, 256, size=(3, 24, 40), dtype=np.uint8)
+    h, w = 24, 40
+    px = py = 64
+    padded = np.pad(img, ((0, 0), (py, py), (px, px)), mode="edge")
+    adversarial = [
+        np.float32(math.nextafter(2.0, 0.0)),
+        np.float32(math.nextafter(2.0, 4.0)),
+        np.float32(-math.nextafter(2.0, 0.0)),
+        np.float32(math.nextafter(-3.0, 0.0)),
+        np.float32(1.9999999),
+        np.float32(-0.0),
+        np.float32(7.5),
+        np.float32(-7.5),
+        np.float32(2.0),
+    ]
+    for fy in adversarial:
+        for fx in adversarial[::2]:
+            got = np.asarray(
+                blend_xla.trunc_shifted_window(
+                    jnp.asarray(padded), jnp.float32(fy), jnp.float32(fx),
+                    px=px, py=py, h_out=h, w=w,
+                )
+            )
+            # oracle semantics: per-pixel trunc of the rounded f32 sum
+            qy = np.arange(h, dtype=np.float32)
+            qx = np.arange(w, dtype=np.float32)
+            cy = np.clip(np.trunc(qy + fy).astype(np.int64), 0, h - 1)
+            cx = np.clip(np.trunc(qx + fx).astype(np.int64), 0, w - 1)
+            want = img[:, cy[:, None], cx[None, :]]
+            np.testing.assert_array_equal(got, want, err_msg=f"fy={fy} fx={fx}")
+
+
+def test_allfocus_quantized_near_integer_shift(rng):
+    """End-to-end regression: per-level shifts within an ulp of an integer."""
+    import math
+
+    h, w, g, v, steps = 16, 24, 4, 4, 4
+    images = rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8)
+    wm = np.full((v, g), 0.25, dtype=np.float16)
+    # Choose offsets so level 3 (byte 255 -> f=focus+range) lands a shift of
+    # nextafter(2.0, 0) in y for image 0.
+    target = np.float32(math.nextafter(2.0, 0.0))
+    offsets = np.array(
+        [[0.3, float(target) / 0.5], [1.0, -2.0], [-1.7, 0.9], [0.0, 0.0]],
+        np.float32,
+    )
+    focus, frange = 0.0, 0.5
+    lev = np.round(np.arange(steps) / (steps - 1) * 255).astype(np.uint8)
+    fmap = lev[rng.integers(0, steps, size=(h, w))]
+    want = oracle.blend_allfocus(images, wm, offsets, fmap, focus, frange)
+    for pad in (None, (64, 64)):
+        got = np.asarray(
+            blend_xla.from_planar(
+                blend_xla.render_allfocus_quantized(
+                    blend_xla.to_planar(jnp.asarray(images)),
+                    jnp.asarray(wm.astype(np.float32)),
+                    jnp.asarray(offsets),
+                    jnp.asarray(fmap),
+                    jnp.float32(focus),
+                    jnp.float32(frange),
+                    steps=steps,
+                    pad=pad,
+                )
+            )
+        )
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1, f"pad={pad}: max {diff.max()}"

@@ -38,6 +38,7 @@ def test_estimate_matches_oracle_nonnegative_shifts(small_lf):
             jnp.float32(fconf[1]),
             radius,
             steps=steps,
+            exact_taps=False,
         )
     )
     np.testing.assert_array_equal(got, want)
@@ -63,6 +64,7 @@ def test_estimate_matches_oracle_interior_mixed_shifts(small_lf):
             jnp.float32(fconf[1]),
             radius,
             steps=steps,
+            exact_taps=False,
         )
     )
     h, w = want.shape
@@ -102,7 +104,8 @@ def test_estimate_padded_fast_matches_general(small_lf):
     sel = blend_xla.to_planar(jnp.asarray(images))[jnp.asarray(ids)]
     soff = jnp.asarray(offsets[ids])
     base = np.asarray(focus.estimate_focus_map(
-        sel, soff, jnp.float32(0.0), jnp.float32(0.5), radius, steps=steps
+        sel, soff, jnp.float32(0.0), jnp.float32(0.5), radius, steps=steps,
+        exact_taps=False,
     ))
     pad = focus.shift_pad_bound(offsets, 0.0, 0.5, radius, images.shape[1], images.shape[2])
     fast = np.asarray(focus.estimate_focus_map(
@@ -141,3 +144,38 @@ def test_shift_pad_bound_properties():
     # capped near the image size for absurd shifts
     px2, py2 = focus.shift_pad_bound(offs, 100.0, 0.0, (4, 2), h=50, w=60)
     assert px2 <= 60 + 4 + 64 and py2 <= 50 + 2 + 64
+
+
+def test_estimate_exact_with_shifts_beyond_image(rng):
+    """Shifts larger than the image: the pad cap must keep every stencil tap
+    border-exact (regression for a review finding where the cap at the image
+    size corrupted taps within radius of the border)."""
+    h = w = 16
+    g = 4
+    images = rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8)
+    offsets = np.array(
+        [[1.0, -1.5], [-1.0, 1.5], [1.5, 1.0], [-1.5, -1.0]], np.float32
+    )
+    ids = np.arange(g, dtype=np.int32)
+    radius, steps = (3, 3), 8
+    f0, frange = 10.0, 20.0  # max |shift| = 45 > 16
+    want = oracle.focus_map_estimate(
+        images, offsets, ids, f0, frange, radius, steps=steps
+    )
+    pad = focus.shift_pad_bound(offsets, f0, frange, radius, h, w)
+    sel = blend_xla.to_planar(jnp.asarray(images))
+    got = np.asarray(focus.estimate_focus_map(
+        sel, jnp.asarray(offsets), jnp.float32(f0), jnp.float32(frange),
+        radius, steps=steps, pad=pad, exact_taps=True,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_estimate_exact_requires_pad():
+    import pytest
+    sel = jnp.zeros((2, 3, 8, 16), jnp.uint8)
+    offs = jnp.ones((2, 2), jnp.float32)
+    with pytest.raises(ValueError, match="exact_taps requires"):
+        focus.estimate_focus_map(
+            sel, offs, jnp.float32(0.0), jnp.float32(1.0), (2, 2), steps=4
+        )
