@@ -45,3 +45,31 @@ def test_focus_map_compare_harness(tmp_path, rng):
         a = codec.decode(str(common))
         b = codec.decode(str(single))
         assert a.shape == b.shape == (64, 80, 4)
+
+
+def test_render_video_script(tmp_path, rng):
+    root = tmp_path / "video"
+    for f in range(3):
+        d = root / f"frame{f:03d}"
+        d.mkdir(parents=True)
+        for c in range(2):
+            for r in range(2):
+                img = rng.integers(0, 256, (12, 16, 4), dtype=np.uint8)
+                codec.encode_png(str(d / f"{c}_{r}.png"), img)
+    out = tmp_path / "rendered"
+    res = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/render_video.py",
+         "-i", str(root), "-o", str(out), "-t", "0,0,1,1", "-m", "STD"],
+        capture_output=True, text=True, env=ENV, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert sorted(os.listdir(out)) == ["frame_00000", "frame_00001", "frame_00002"]
+    assert len(os.listdir(out / "frame_00001")) == 64
+    # resume: a second run renders nothing new but succeeds
+    res2 = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/render_video.py",
+         "-i", str(root), "-o", str(out), "-t", "0,0,1,1", "-m", "STD",
+         "--resume"],
+        capture_output=True, text=True, env=ENV, timeout=600,
+    )
+    assert res2.returncode == 0 and "3 frames" in res2.stdout
