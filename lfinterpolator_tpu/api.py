@@ -29,6 +29,33 @@ from .models import pipeline
 from .ops import blend_pallas, blend_xla, quilt as quilt_ops
 
 
+def _fetch(x) -> np.ndarray:
+    """Device->host fetch that also works for mesh-sharded arrays spanning
+    multiple processes (gathered to every host)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
+def _tiny_sync(out) -> None:
+    """Force real completion with a minimal fetch.
+
+    Through tunneled devices block_until_ready alone can return early; and a
+    reshape(-1) of a sharded array would force a cross-device gather inside
+    the timed region, so fetch a shard-local corner instead.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = (0,) * (leaf.ndim - 1) + (slice(0, min(8, leaf.shape[-1])),)
+    corner = leaf[idx]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        corner = multihost_utils.process_allgather(corner)
+    _ = np.asarray(corner)
+
+
 @dataclasses.dataclass
 class RenderResult:
     """Output of one interpolate() call."""
@@ -105,9 +132,9 @@ class Interpolator:
         # when sharded rendering is requested.
         planar = blend_xla.to_planar(jnp.asarray(self.lf.images))
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel import mesh as pmesh
 
-            self.images = jax.device_put(planar, NamedSharding(mesh, P()))
+            self.images = pmesh.replicate(mesh, planar)
         else:
             self.images = jax.device_put(planar)
         self._padded_cache: tuple[tuple[int, int], jnp.ndarray] | None = None
@@ -168,11 +195,9 @@ class Interpolator:
             lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
         )
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel import mesh as pmesh
 
-            weights = jax.device_put(
-                jnp.asarray(wm), NamedSharding(self.mesh, P("view", None))
-            )
+            weights = pmesh.shard_weights(self.mesh, jnp.asarray(wm))
         else:
             weights = jnp.asarray(wm)
         offsets_j = jnp.asarray(offsets)
@@ -240,7 +265,6 @@ class Interpolator:
 
             fo = fo_for(0)
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 from .parallel import mesh as pmesh
 
                 use_pallas = (
@@ -252,13 +276,11 @@ class Interpolator:
                     tile_h, tile_w = blend_pallas.default_tile(
                         lf.grid_size, lf.width, v=cfg.view_count
                     )
-                    padded = jax.device_put(
-                        self._padded(tile_h, tile_w),
-                        NamedSharding(self.mesh, P()),
+                    padded = pmesh.replicate(
+                        self.mesh, self._padded(tile_h, tile_w)
                     )
-                    weights2 = jax.device_put(
-                        blend_pallas.split_weights(weights),
-                        NamedSharding(self.mesh, P(None, "view", None)),
+                    weights2 = pmesh.shard_weights(
+                        self.mesh, blend_pallas.split_weights(weights), dim=1
                     )
 
                     def step(i: int = 0):
@@ -312,10 +334,7 @@ class Interpolator:
                 t0 = time.perf_counter()
                 out = run(i + 1)
                 jax.block_until_ready(out)
-                # Tiny fetch: through tunneled devices block_until_ready alone
-                # has been observed to return early in some call patterns.
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                _ = np.asarray(leaf.reshape(-1)[:8])
+                _tiny_sync(out)
                 run_times.append(time.perf_counter() - t0)
             if progress:
                 avg = 1000 * sum(run_times) / len(run_times)
@@ -323,8 +342,8 @@ class Interpolator:
                     f"Average time of {benchmark_runs} runs: {avg:.3f} ms"
                 )
 
-        views_np = np.asarray(blend_xla.from_planar(views))
-        maps_np = np.asarray(maps) if maps is not None else None
+        views_np = _fetch(blend_xla.from_planar(views))
+        maps_np = _fetch(maps) if maps is not None else None
         return RenderResult(
             views=views_np, maps=maps_np, run_times_s=run_times, config=cfg
         )
@@ -386,7 +405,19 @@ class Interpolator:
         big = jnp.asarray(np.concatenate(wms, axis=0))  # [n*V, G]
         fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
 
-        if method_key == "TEN" and blend_pallas.is_available():
+        if self.mesh is not None:
+            from .parallel import mesh as pmesh
+
+            if big.shape[0] % self.mesh.shape["view"] != 0:
+                raise ValueError(
+                    f"batched view count {big.shape[0]} must divide by the "
+                    f"mesh view axis ({self.mesh.shape['view']})"
+                )
+            views = pmesh.render_fixed_sharded(
+                self.mesh, self.images,
+                pmesh.shard_weights(self.mesh, big), fo,
+            )
+        elif method_key == "TEN" and blend_pallas.is_available():
             tile_h, tile_w = blend_pallas.default_tile(
                 lf.grid_size, lf.width, v=big.shape[0]
             )
@@ -399,7 +430,7 @@ class Interpolator:
             views = pipeline.render_fixed_focus(
                 self.images, big, fo, method=method_key
             )
-        views_np = np.asarray(blend_xla.from_planar(views))
+        views_np = _fetch(blend_xla.from_planar(views))
         v = cfg.view_count
         return [
             RenderResult(

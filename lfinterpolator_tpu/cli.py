@@ -122,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
-    except (ValueError, FileNotFoundError, NotADirectoryError) as e:
+    except (ValueError, FileNotFoundError, NotADirectoryError, RuntimeError) as e:
         print(str(e), file=sys.stderr)
         return 1
     return 0

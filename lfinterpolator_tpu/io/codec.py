@@ -62,7 +62,9 @@ def _load_native():
             lib.lfi_free.restype = None
             lib.lfi_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
             _native_lib = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # unloadable library, or a stale/unrelated .so missing the
+            # expected symbols -- fall back to Pillow either way
             _native_lib = None
         return _native_lib
 

@@ -124,24 +124,29 @@ def load_light_field(
     if workers is None:
         workers = min(16, os.cpu_count() or 4)
 
+    # Decode one image to learn the resolution, then decode the rest straight
+    # into the preallocated stack (avoids holding a second copy of the whole
+    # dataset during assembly).
+    first = codec.decode(files[(0, 0)])
+    bar.add()
+    h, w = first.shape[:2]
+    images = np.empty((cols * rows, h, w, 4), dtype=np.uint8)
+    images[0] = first
+    del first
+
     def _load(item):
         (c, r), f = item
         img = codec.decode(f)
-        bar.add()
-        return (c, r), img
-
-    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
-        decoded = dict(ex.map(_load, sorted(files.items())))
-    bar.finish()
-
-    first = decoded[(0, 0)]
-    h, w = first.shape[:2]
-    images = np.empty((cols * rows, h, w, 4), dtype=np.uint8)
-    for (c, r), img in decoded.items():
         if img.shape[:2] != (h, w):
             raise ValueError(
                 f"Image at grid position ({c},{r}) has resolution "
                 f"{img.shape[1]}x{img.shape[0]}, expected {w}x{h}"
             )
         images[c * rows + r] = img
+        bar.add()
+
+    rest = [item for item in sorted(files.items()) if item[0] != (0, 0)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_load, rest))
+    bar.finish()
     return LightField(images=images, cols=cols, rows=rows)

@@ -41,7 +41,11 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        # jax raises "distributed.initialize should only be called once."
+        # (0.9.0) / "...already initialized..." (other versions) -- both mean
+        # the no-op case this wrapper promises.
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             return
         raise
 

@@ -46,15 +46,25 @@ def make_mesh(
     return Mesh(arr, axis_names=("view", "space"))
 
 
+def replicate(mesh: Mesh, x: jnp.ndarray) -> jnp.ndarray:
+    """Place an array replicated over every device of the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_weights(mesh: Mesh, weights: jnp.ndarray, dim: int = 0) -> jnp.ndarray:
+    """Shard a weight matrix's view dimension over the mesh's "view" axis."""
+    spec = [None] * weights.ndim
+    spec[dim] = "view"
+    return jax.device_put(weights, NamedSharding(mesh, P(*spec)))
+
+
 def shard_inputs(
     mesh: Mesh,
     images: jnp.ndarray,  # [G, C, H, W]
     weights: jnp.ndarray,  # [V, G]
 ):
     """Place the stack (replicated) and weights (view-sharded) on the mesh."""
-    images = jax.device_put(images, NamedSharding(mesh, P()))
-    weights = jax.device_put(weights, NamedSharding(mesh, P("view", None)))
-    return images, weights
+    return replicate(mesh, images), shard_weights(mesh, weights)
 
 
 @partial(jax.jit, static_argnames=("mesh",))

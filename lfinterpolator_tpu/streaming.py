@@ -37,12 +37,18 @@ from .models import pipeline
 
 @dataclasses.dataclass
 class StreamStats:
-    frames: int
+    frames: int  # total accounted for (rendered + skipped)
     total_s: float
+    skipped: int = 0  # complete frames skipped by resume
+
+    @property
+    def rendered(self) -> int:
+        return self.frames - self.skipped
 
     @property
     def fps(self) -> float:
-        return self.frames / self.total_s if self.total_s > 0 else 0.0
+        """Throughput of the frames actually rendered."""
+        return self.rendered / self.total_s if self.total_s > 0 else 0.0
 
 
 class StreamingRenderer:
@@ -144,7 +150,7 @@ class StreamingRenderer:
 
     def render_to_dir(
         self,
-        frames: Iterable[np.ndarray],
+        frames: Iterable,
         output_dir: str,
         *,
         writers: int = 4,
@@ -154,9 +160,11 @@ class StreamingRenderer:
         """Render a stream and write each frame's views under
         output_dir/frame_%05d/ with a background writer pool.
 
-        With `resume=True`, frames whose output directory already holds the
-        full view count are skipped (PNG writes are atomic, so a complete
-        directory means a complete frame) -- restartable long video jobs.
+        `frames` yields uint8 arrays OR zero-arg callables returning them
+        (thunks). With `resume=True`, frames whose output directory already
+        holds the full view count are skipped (PNG writes are atomic, so a
+        complete directory means a complete frame) -- and thunks for skipped
+        frames are never invoked, so resumed jobs skip the decode cost too.
         """
         import os
 
@@ -179,7 +187,7 @@ class StreamingRenderer:
                     skipped += 1
                     yield i, None
                 else:
-                    yield i, f
+                    yield i, (f() if callable(f) else f)
 
         with concurrent.futures.ThreadPoolExecutor(max_workers=writers) as pool:
             futures = []
@@ -207,4 +215,8 @@ class StreamingRenderer:
                 n += 1
             for f in futures:
                 f.result()
-        return StreamStats(frames=n + skipped, total_s=time.perf_counter() - t0)
+        return StreamStats(
+            frames=n + skipped,
+            total_s=time.perf_counter() - t0,
+            skipped=skipped,
+        )

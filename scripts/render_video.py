@@ -54,15 +54,19 @@ def main() -> int:
         f"{first.width}x{first.height} images"
     )
 
+    def _load(d):
+        lf = loader.load_light_field(d, progress=False)
+        if (lf.cols, lf.rows, lf.width, lf.height) != (
+            first.cols, first.rows, first.width, first.height
+        ):
+            raise ValueError(f"Frame {d} geometry differs from frame 0")
+        return lf.images
+
     def frames():
+        # thunks: with --resume, complete frames are skipped without decoding
         yield first.images
         for d in frame_dirs[1:]:
-            lf = loader.load_light_field(d, progress=False)
-            if (lf.cols, lf.rows, lf.width, lf.height) != (
-                first.cols, first.rows, first.width, first.height
-            ):
-                raise ValueError(f"Frame {d} geometry differs from frame 0")
-            yield lf.images
+            yield lambda d=d: _load(d)
 
     renderer = StreamingRenderer(
         first.cols, first.rows, first.width, first.height, args.trajectory,
@@ -72,7 +76,11 @@ def main() -> int:
         ),
     )
     stats = renderer.render_to_dir(frames(), args.output, resume=args.resume)
-    print(f"{stats.frames} frames in {stats.total_s:.1f}s ({stats.fps:.2f} fps)")
+    print(
+        f"{stats.frames} frames ({stats.rendered} rendered, "
+        f"{stats.skipped} skipped) in {stats.total_s:.1f}s "
+        f"({stats.fps:.2f} fps)"
+    )
     return 0
 
 

@@ -206,3 +206,26 @@ def test_sharded_pallas_kernel_matches_full(devices, monkeypatch):
         m, padded_r, w2_s, fo, h=h, w=w, tile_h=th, tile_w=tw
     )
     np.testing.assert_array_equal(np.asarray(out), full)
+
+
+def test_interpolate_batch_with_mesh(devices, tmp_path, small_lf):
+    from lfinterpolator_tpu.api import Interpolator
+    from lfinterpolator_tpu.core.config import RenderConfig
+    from lfinterpolator_tpu.io import codec
+
+    images, (cols, rows) = small_lf
+    d = tmp_path / "scene"
+    d.mkdir()
+    for c in range(cols):
+        for r in range(rows):
+            codec.encode_png(str(d / f"{c:02d}_{r:02d}.png"), images[c * rows + r])
+    cfg = RenderConfig(view_count=4)
+    m = pmesh.make_mesh(devices, view_parallel=2)
+    single = Interpolator(str(d), config=cfg, progress=False)
+    sharded = Interpolator(str(d), config=cfg, progress=False, mesh=m)
+    trajs = ["0,0,1,1", "0.25,0.25,0.75,0.75"]
+    want = single.interpolate_batch(trajs, focus=0.3, progress=False)
+    got = sharded.interpolate_batch(trajs, focus=0.3, progress=False)
+    for a, b in zip(want, got):
+        diff = np.abs(a.views.astype(int) - b.views.astype(int))
+        assert diff.max() <= 1
