@@ -21,4 +21,28 @@ from .core.config import RenderConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["RenderConfig", "__version__"]
+__all__ = [
+    "RenderConfig",
+    "Interpolator",
+    "RenderResult",
+    "interpolate",
+    "StreamingRenderer",
+    "__version__",
+]
+
+_LAZY = {
+    "Interpolator": ("lfinterpolator_tpu.api", "Interpolator"),
+    "RenderResult": ("lfinterpolator_tpu.api", "RenderResult"),
+    "interpolate": ("lfinterpolator_tpu.api", "interpolate"),
+    "StreamingRenderer": ("lfinterpolator_tpu.streaming", "StreamingRenderer"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports (importing the package stays jax-free)."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
