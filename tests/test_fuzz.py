@@ -115,3 +115,35 @@ def test_all_focus_random_config(seed, rng):
         assert diff.max() <= 1, (
             f"seed={seed} method={method} cfg={(cols, rows, h, w, v, focus)}"
         )
+
+
+@pytest.mark.parametrize("seed", CASES[:6])
+def test_pallas_kernel_random_config(seed, rng, monkeypatch):
+    """Fuzz the fused Pallas blend (interpret mode) across random configs."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    from lfinterpolator_tpu.ops import blend_pallas
+
+    cols, rows, h, w, v, focus, effect, aspect, traj = _random_cfg(seed + 500)
+    v = max(2, v)
+    g = cols * rows
+    images = rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8)
+    se = geometry.parse_trajectory(",".join(str(x) for x in traj), (cols, rows))
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, effect, v)
+    )
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, aspect, geometry.trajectory_center(se)
+    )
+    fo = geometry.focused_offsets(offsets, focus)
+    want = oracle.blend_fixed(images, wm, fo)
+    got = np.asarray(
+        blend_xla.from_planar(
+            blend_pallas.render_fixed(
+                blend_xla.to_planar(jnp.asarray(images)),
+                jnp.asarray(wm.astype(np.float32)),
+                jnp.asarray(fo),
+            )
+        )
+    )
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, f"seed={seed} cfg={(cols, rows, h, w, v, focus)}"
