@@ -139,34 +139,48 @@ def bench_headline():
 
 
 def bench_c1():
-    # 2x2 grid, 512x512, single novel view position (64 identical views).
+    # BASELINE config 1: 2x2 grid, 512x512, SINGLE center novel view
+    # (start == end, like the reference's degenerate trajectory -> one
+    # distinct view), plain aperture-weighted blend on the XLA path.
     h = w = 512
-    v = 64
-    _, wm, offsets, planar = _setup(2, 2, h, w, v)
+    v = 1
+    g = 4
+    start_end = np.array([0.5, 0.5, 0.5, 0.5], np.float32)  # grid center
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(start_end, 2, 2, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        2, 2, w, h, 1.0, geometry.trajectory_center(start_end)
+    )
+    planar = jax.random.randint(
+        jax.random.key(0), (g, 3, h, w), 0, 255, jnp.int32
+    ).astype(jnp.uint8)
     step, _ = _fixed_step(planar, wm, offsets, h, w, method="STD")
     per = _throughput(step, RUNS)
     gps = v * h * w / per / 1e9
-    _emit(f"2x2-grid 512px blend, STD/XLA path ({per*1000:.2f} ms)", gps, "GP/s",
-          gps / BASELINE_GPS)
+    _emit(f"2x2-grid 512px single center view, STD/XLA path ({per*1000:.2f} ms)",
+          gps, "GP/s", gps / BASELINE_GPS)
 
 
 def bench_c2():
+    # BASELINE config 2: 4x4 grid, 1024px, trajectory of 8 novel views.
     h = w = 1024
-    v = 64
+    v = 8
     _, wm, offsets, planar = _setup(4, 4, h, w, v)
     step, _ = _fixed_step(planar, wm, offsets, h, w)
     per = _throughput(step, RUNS)
     gps = v * h * w / per / 1e9
-    _emit(f"4x4-grid 1024px 64-view blend ({per*1000:.2f} ms)", gps, "GP/s",
+    _emit(f"4x4-grid 1024px 8-view blend ({per*1000:.2f} ms)", gps, "GP/s",
           gps / BASELINE_GPS)
 
 
 def bench_c3():
-    # per-pixel focus: estimate + filter + quantized blend, 1080p, 8x8.
-    cols = rows = 8
+    # BASELINE config 3: 4x4 grid, 1080p, per-pixel focus-map disparity
+    # search fused with blending (focus views capped at the grid size).
+    cols = rows = 4
     h, w, v = 1080, 1920, 64
     start_end, wm, offsets, planar = _setup(cols, rows, h, w, v)
-    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 32))
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 16))
     radius = geometry.block_radius(w, h)
     frad = (radius[0] // 10, radius[1] // 10)
     pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
@@ -183,7 +197,7 @@ def bench_c3():
     per = _throughput(step, max(4, RUNS // 8))
     gps = v * h * w / per / 1e9
     _emit(
-        f"8x8-grid 1080p all-in-focus pipeline: estimate+filter+blend "
+        f"4x4-grid 1080p all-in-focus pipeline: estimate+filter+blend "
         f"({per*1000:.0f} ms)", gps, "GP/s", gps / BASELINE_GPS,
     )
 
@@ -210,7 +224,10 @@ def bench_c5():
     cols = rows = 8
     g = cols * rows
     h, w, v = 2160, 3840, 64
-    start_end, wm, offsets, _ = _setup(cols, rows, 256, 256, v)  # geometry only
+    start_end = np.array([0.0, 0.0, cols - 1.0, rows - 1.0], np.float32)
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(start_end, cols, rows, 3.0, v)
+    ).astype(np.float32)
     offsets = geometry.compute_offsets(
         cols, rows, w, h, 1.0, geometry.trajectory_center(start_end)
     )
@@ -260,11 +277,20 @@ CONFIGS = {
 def main() -> None:
     name = os.environ.get("LFI_BENCH_CONFIG", "headline")
     if "--config" in sys.argv:
-        name = sys.argv[sys.argv.index("--config") + 1]
+        i = sys.argv.index("--config")
+        if i + 1 >= len(sys.argv):
+            print(f"--config needs a value: {list(CONFIGS)} or all",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        name = sys.argv[i + 1]
     if name == "all":
         for fn in CONFIGS.values():
             fn()
         return
+    if name not in CONFIGS:
+        print(f"Unknown config {name!r}; valid: {list(CONFIGS)} or all",
+              file=sys.stderr)
+        raise SystemExit(2)
     CONFIGS[name]()
 
 

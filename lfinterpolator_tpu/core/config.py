@@ -50,12 +50,11 @@ class RenderConfig:
     # band of possible argmin flips at coordinate sign changes for ~5x
     # faster estimation (see ops/focus.py).
     exact_focus_taps: bool = True
-
-    # --- TPU kernel tuning (no reference equivalent; ours) ---
-    tile_h: int = 8
-    tile_w: int = 512
-    # Benchmark repetitions (kernelBenchmarkRuns, src/interpolator.h:13).
-    benchmark_runs: int = 100
+    # (Kernel tile sizes are chosen by ops.blend_pallas.default_tile from the
+    # grid size, resolution, and view count -- they are a VMEM-budget
+    # decision, not a user knob. Benchmark repetitions are the CLI -b /
+    # api benchmark_runs parameter; the reference hard-codes 100,
+    # src/interpolator.h:13.)
 
     def __post_init__(self):
         # The reference coerces non-positive -s / -a to their defaults

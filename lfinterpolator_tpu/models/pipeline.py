@@ -28,7 +28,7 @@ from ..ops import blend_pallas
 
 
 def _blend_fixed(images, weights, focused_offsets, method):
-    if method == "TEN" and blend_pallas.is_available():
+    if method in ("TEN", "TEN_WM") and blend_pallas.is_available():
         return blend_pallas.render_fixed(images, weights, focused_offsets)
     return blend_xla.render_fixed(images, weights, focused_offsets)
 

@@ -14,7 +14,7 @@ class LoadingBar:
         self.width = width
         self.enabled = enabled and sys.stderr.isatty()
         self._lock = threading.Lock()
-        if label and enabled:
+        if label and self.enabled:
             print(label, file=sys.stderr)
         self._render()
 

@@ -42,8 +42,10 @@ int lfi_decode_png_rgba(const char *path, int *width, int *height,
         return 3;
     }
 
-    unsigned char *buf = nullptr;
-    png_bytep *rows = nullptr;
+    // volatile: modified between setjmp and longjmp, so the error path must
+    // not read stale register copies (C11 7.13.2.1).
+    unsigned char *volatile buf = nullptr;
+    png_bytep *volatile rows = nullptr;
     if (setjmp(png_jmpbuf(png))) {  // libpng error handling
         png_destroy_read_struct(&png, &info, nullptr);
         std::fclose(fp);
@@ -111,7 +113,7 @@ int lfi_encode_png_rgba(const char *path, int width, int height, int channels,
         std::fclose(fp);
         return 3;
     }
-    png_bytep *rows = nullptr;
+    png_bytep *volatile rows = nullptr;
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_write_struct(&png, &info);
         std::fclose(fp);

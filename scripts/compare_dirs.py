@@ -37,9 +37,20 @@ def main() -> int:
         if not as_json:
             print(f"{n} {results[n]['psnr']:.4f} {results[n]['ssim']:.6f}")
     if as_json:
+        import math
+
+        def enc(v):  # identical pairs give inf PSNR; keep the JSON valid
+            return v if math.isfinite(v) else "inf"
+
         avg_psnr = sum(r["psnr"] for r in results.values()) / len(results)
         avg_ssim = sum(r["ssim"] for r in results.values()) / len(results)
-        print(json.dumps({"files": results, "avg_psnr": avg_psnr, "avg_ssim": avg_ssim}))
+        print(json.dumps({
+            "files": {
+                n: {k: enc(v) for k, v in r.items()} for n, r in results.items()
+            },
+            "avg_psnr": enc(avg_psnr),
+            "avg_ssim": enc(avg_ssim),
+        }))
     return 0
 
 

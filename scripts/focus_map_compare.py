@@ -44,7 +44,14 @@ def main() -> int:
     from lfinterpolator_tpu.api import interpolate
 
     view = args.view
-    lead = f"{view:02d}"
+    if not 0 <= view < len(POSITIONS):
+        print(f"--view must be 0..{len(POSITIONS) - 1}", file=sys.stderr)
+        return 1
+    # POSITIONS are 8 uniform samples of the [0.071, 0.93] sweep; the 64-view
+    # trajectory hits POSITIONS[i] at sweep view i*9 (63/7 = 9). The reference
+    # script hard-pins VIEW=0 with a note that other ids need correction
+    # (scripts/focusMapCompare.sh:8-9); this port applies the correction.
+    lead = f"{view * 9:02d}"
     pos = POSITIONS[view]
     for scene in args.scenes.split(","):
         if scene not in SCENES:
