@@ -137,19 +137,22 @@ class Interpolator:
             self.images = pmesh.replicate(mesh, planar)
         else:
             self.images = jax.device_put(planar)
-        self._padded_cache: tuple[tuple[int, int], jnp.ndarray] | None = None
+        # Keyed by tile size: interleaving interpolate()/interpolate_batch()
+        # calls with different view counts picks different tiles, and a
+        # single-slot cache would re-pad (a large device copy) every call.
+        self._padded_cache: dict[tuple[int, int], jnp.ndarray] = {}
 
     # -- device data ------------------------------------------------------
 
     def _padded(self, tile_h: int, tile_w: int) -> jnp.ndarray:
         """Tile-padded stack for the Pallas kernel, built once per tile size."""
         key = (tile_h, tile_w)
-        if self._padded_cache is None or self._padded_cache[0] != key:
+        if key not in self._padded_cache:
             padded = jax.jit(
                 blend_pallas.pad_images, static_argnums=(1, 2)
             )(self.images, tile_h, tile_w)
-            self._padded_cache = (key, jax.block_until_ready(padded))
-        return self._padded_cache[1]
+            self._padded_cache[key] = jax.block_until_ready(padded)
+        return self._padded_cache[key]
 
     # -- rendering --------------------------------------------------------
 
@@ -358,13 +361,16 @@ class Interpolator:
         aspect: float | None = None,
         progress: bool = True,
     ) -> list[RenderResult]:
-        """Render several trajectories in ONE fused pass (fixed focus).
+        """Render several trajectories in few fused passes (fixed focus).
 
         The blend is bandwidth-bound on reading the image stack, so stacking
         the trajectories' weight matrices into one [n*V, G] matrix makes the
         extra trajectories nearly free: every source pixel is read once for
-        all of them. (No reference equivalent -- the CUDA tool renders one
-        trajectory per process.)
+        all of them. The per-image shifts depend only on the trajectory
+        CENTER, so trajectories are grouped by center and each group renders
+        in one fused pass; results come back in the caller's order. (No
+        reference equivalent -- the CUDA tool renders one trajectory per
+        process.)
         """
         cfg = dataclasses.replace(
             self.config,
@@ -380,67 +386,64 @@ class Interpolator:
         parsed = [
             geometry.parse_trajectory(t, lf.cols_rows) for t in trajectories
         ]
-        # The per-image shifts depend only on the trajectory CENTER, so one
-        # fused pass is exact iff all trajectories share it (same path with
-        # different spans/effects, symmetric sweeps, ...).
         centers = np.stack([geometry.trajectory_center(se) for se in parsed])
-        if not np.allclose(centers, centers[0], atol=1e-5):
-            raise ValueError(
-                "interpolate_batch requires all trajectories to share one "
-                f"center (shift geometry); got centers {centers.tolist()}. "
-                "Render differing centers with separate interpolate() calls."
-            )
-        center = centers[0]
-        offsets = geometry.compute_offsets(
-            lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
-        )
-        wms = [
-            geometry.quantize_weights_f16(
-                geometry.weight_matrix(
-                    se, lf.cols, lf.rows, cfg.effect, cfg.view_count
-                )
-            ).astype(np.float32)
-            for se in parsed
-        ]
-        big = jnp.asarray(np.concatenate(wms, axis=0))  # [n*V, G]
-        fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
+        # Group indices by (quantized) center; one fused pass per group.
+        groups: dict[tuple, list[int]] = {}
+        for i, c in enumerate(centers):
+            groups.setdefault(tuple(np.round(c / 1e-5).astype(np.int64)), []).append(i)
 
-        if self.mesh is not None:
-            from .parallel import mesh as pmesh
-
-            if big.shape[0] % self.mesh.shape["view"] != 0:
-                raise ValueError(
-                    f"batched view count {big.shape[0]} must divide by the "
-                    f"mesh view axis ({self.mesh.shape['view']})"
-                )
-            views = pmesh.render_fixed_sharded(
-                self.mesh, self.images,
-                pmesh.shard_weights(self.mesh, big), fo,
-            )
-        elif method_key == "TEN" and blend_pallas.is_available():
-            tile_h, tile_w = blend_pallas.default_tile(
-                lf.grid_size, lf.width, v=big.shape[0]
-            )
-            padded = self._padded(tile_h, tile_w)
-            views = blend_pallas.render_fixed_padded(
-                padded, blend_pallas.split_weights(big), fo,
-                h=lf.height, w=lf.width, tile_h=tile_h, tile_w=tile_w,
-            )
-        else:
-            views = pipeline.render_fixed_focus(
-                self.images, big, fo, method=method_key
-            )
-        views_np = _fetch(blend_xla.from_planar(views))
+        results: list[RenderResult | None] = [None] * len(trajectories)
         v = cfg.view_count
-        return [
-            RenderResult(
-                views=views_np[i * v : (i + 1) * v],
-                maps=None,
-                run_times_s=[],
-                config=cfg,
+        for idxs in groups.values():
+            center = centers[idxs[0]]
+            offsets = geometry.compute_offsets(
+                lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
             )
-            for i in range(len(trajectories))
-        ]
+            wms = [
+                geometry.quantize_weights_f16(
+                    geometry.weight_matrix(
+                        parsed[i], lf.cols, lf.rows, cfg.effect, cfg.view_count
+                    )
+                ).astype(np.float32)
+                for i in idxs
+            ]
+            big = jnp.asarray(np.concatenate(wms, axis=0))  # [len(idxs)*V, G]
+            fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
+
+            if self.mesh is not None:
+                from .parallel import mesh as pmesh
+
+                if big.shape[0] % self.mesh.shape["view"] != 0:
+                    raise ValueError(
+                        f"batched view count {big.shape[0]} must divide by the "
+                        f"mesh view axis ({self.mesh.shape['view']})"
+                    )
+                views = pmesh.render_fixed_sharded(
+                    self.mesh, self.images,
+                    pmesh.shard_weights(self.mesh, big), fo,
+                )
+            elif method_key == "TEN" and blend_pallas.is_available():
+                tile_h, tile_w = blend_pallas.default_tile(
+                    lf.grid_size, lf.width, v=big.shape[0]
+                )
+                padded = self._padded(tile_h, tile_w)
+                views = blend_pallas.render_fixed_padded(
+                    padded, blend_pallas.split_weights(big), fo,
+                    h=lf.height, w=lf.width, tile_h=tile_h, tile_w=tile_w,
+                )
+            else:
+                views = pipeline.render_fixed_focus(
+                    self.images, big, fo, method=method_key
+                )
+            views_np = _fetch(blend_xla.from_planar(views))
+            for j, i in enumerate(idxs):
+                results[i] = RenderResult(
+                    views=views_np[j * v : (j + 1) * v],
+                    maps=None,
+                    run_times_s=[],
+                    config=cfg,
+                )
+        return results  # type: ignore[return-value]
 
 
 def interpolate(

@@ -15,6 +15,8 @@ Extensions beyond the reference:
                       average (the reference always times 100)
   --quilt             also write a 5x9 quilt.png (viewsToQuilt.sh equivalent)
   --json              print a machine-readable summary line
+  --reference-order   reproduce the reference binary's transposed grid
+                      placement (src/lfLoader.cpp:64) for output comparisons
 """
 
 from __future__ import annotations
@@ -63,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="~5x faster focus estimation; may flip the chosen focus level "
              "in a narrow band at per-view coordinate sign changes",
     )
+    p.add_argument(
+        "--reference-order", action="store_true",
+        help="reproduce the reference binary's transposed grid placement "
+             "(src/lfLoader.cpp:64) for side-by-side output comparisons",
+    )
     p.add_argument("--quilt", action="store_true")
     p.add_argument("--json", action="store_true", dest="json_out")
     p.add_argument("--no-progress", action="store_true")
@@ -81,11 +88,19 @@ def main(argv: list[str] | None = None) -> int:
     # Imports deferred so `-h` stays instant (no jax init).
     from .api import Interpolator
     from .core.config import RenderConfig
+    from .io.loader import load_light_field
 
     progress = not args.no_progress and not args.json_out
     try:
+        source = (
+            load_light_field(
+                args.input, progress=progress, reference_order=True
+            )
+            if args.reference_order
+            else args.input
+        )
         interp = Interpolator(
-            args.input,
+            source,
             config=RenderConfig(
                 method=args.method, effect=args.effect, aspect=args.aspect,
                 focus_map_views=args.focus_views,

@@ -3,9 +3,9 @@
 The reference vendors stb_image / stb_image_write (reference:
 src/lfLoader.cpp:36, src/interpolator.cu:313). Here the codec is pluggable:
 
-  1. a native C++ codec (libpng + libjpeg via ctypes, built from native/) when
-     available -- the fast path for bulk dataset ingest,
-  2. Pillow as the portable fallback.
+  1. a native C++ codec (libpng for PNG, libjpeg for JPEG, via ctypes; built
+     from native/) when available -- the fast path for bulk dataset ingest,
+  2. Pillow as the portable fallback (and for any other format).
 
 Decoded images are always RGBA8 (channels forced to 4, matching
 STBI_rgb_alpha at src/lfLoader.cpp:35-39).
@@ -51,6 +51,8 @@ def _load_native():
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
             ]
+            lib.lfi_decode_jpeg_rgba.restype = ctypes.c_int
+            lib.lfi_decode_jpeg_rgba.argtypes = lib.lfi_decode_png_rgba.argtypes
             lib.lfi_encode_png_rgba.restype = ctypes.c_int
             lib.lfi_encode_png_rgba.argtypes = [
                 ctypes.c_char_p,
@@ -76,21 +78,28 @@ def native_available() -> bool:
 def decode(path: str) -> np.ndarray:
     """Decode an image file to an RGBA8 array [H, W, 4]."""
     lib = _load_native()
-    if lib is not None and path.lower().endswith(".png"):
-        w = ctypes.c_int()
-        h = ctypes.c_int()
-        buf = ctypes.POINTER(ctypes.c_ubyte)()
-        rc = lib.lfi_decode_png_rgba(
-            path.encode(), ctypes.byref(w), ctypes.byref(h), ctypes.byref(buf)
-        )
-        if rc == 0:
-            try:
-                n = w.value * h.value * 4
-                arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
-                return arr.reshape(h.value, w.value, 4)
-            finally:
-                lib.lfi_free(buf)
-        # fall through to Pillow on native decode failure
+    if lib is not None:
+        ext = os.path.splitext(path)[1].lower()
+        fn = {
+            ".png": lib.lfi_decode_png_rgba,
+            ".jpg": lib.lfi_decode_jpeg_rgba,
+            ".jpeg": lib.lfi_decode_jpeg_rgba,
+        }.get(ext)
+        if fn is not None:
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            buf = ctypes.POINTER(ctypes.c_ubyte)()
+            rc = fn(
+                path.encode(), ctypes.byref(w), ctypes.byref(h), ctypes.byref(buf)
+            )
+            if rc == 0:
+                try:
+                    n = w.value * h.value * 4
+                    arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+                    return arr.reshape(h.value, w.value, 4)
+                finally:
+                    lib.lfi_free(buf)
+            # fall through to Pillow on native decode failure
     return _decode_pil(path)
 
 

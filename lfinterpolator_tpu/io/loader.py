@@ -10,8 +10,11 @@ Differences from the reference (conscious fixes, see SURVEY.md section 3.5):
     lexicographically last one (the reference requires zero-padded names,
     src/lfLoader.cpp:57);
   * an image named ``a_b.ext`` is placed at (col=a, row=b) per the reference's
-    own help text (src/main.cpp:17); the reference transposes storage in a way
-    that is only self-consistent for square grids (src/lfLoader.cpp:64);
+    own help text (src/main.cpp:17); the reference BINARY transposes storage
+    in a way that is only self-consistent for square grids
+    (src/lfLoader.cpp:64), so identical inputs+trajectory give transposed
+    results vs the reference tool. Pass ``reference_order=True`` to reproduce
+    the binary's transposed placement for side-by-side comparisons;
   * missing grid cells and mismatched resolutions raise actionable errors
     instead of crashing later.
 """
@@ -105,10 +108,22 @@ def list_grid_files(path: str) -> dict[tuple[int, int], str]:
 
 
 def load_light_field(
-    path: str, *, progress: bool = True, workers: int | None = None
+    path: str,
+    *,
+    progress: bool = True,
+    workers: int | None = None,
+    reference_order: bool = False,
 ) -> LightField:
-    """Load all grid images from a directory into a LightField."""
+    """Load all grid images from a directory into a LightField.
+
+    ``reference_order=True`` reproduces the reference binary's transposed
+    grid placement (src/lfLoader.cpp:64 stores ``a_b.ext`` at (col=b, row=a)
+    despite the help text) -- only meaningful for square grids, where it
+    makes outputs directly comparable against the reference tool's.
+    """
     files = list_grid_files(path)
+    if reference_order:
+        files = {(r, c): f for (c, r), f in files.items()}
     cols = max(c for c, _ in files) + 1
     rows = max(r for _, r in files) + 1
     missing = [

@@ -5,6 +5,11 @@ Replaces the reference's out-of-process ImageMagick montage
 movement on device; optional per-tile resize uses jax.image.
 
 Tile order matches `montage`: row-major, top-left first.
+
+Deviation from the reference script: viewsToQuilt.sh forces every tile to
+1920x1080 and writes JPEG; here tiles default to the native view size and the
+writer emits PNG (lossless). Pass ``tile_size=(1080, 1920)`` for
+reference-shaped quilts.
 """
 
 from __future__ import annotations

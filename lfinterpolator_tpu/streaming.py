@@ -172,12 +172,17 @@ class StreamingRenderer:
         n = 0
         skipped = 0
 
+        v_count = self.cfg.view_count
+        digits = max(2, len(str(v_count - 1)))
+        expected = [f"{i:0{digits}d}.png" for i in range(v_count)]
+
         def _complete(i: int) -> bool:
+            # Check for the exact filenames write_views produces: counting
+            # arbitrary *.png would let stray files (a quilt.png, leftovers
+            # from a run with a larger view count) mask a partial frame.
             d = f"{output_dir}/frame_{i:05d}"
-            return (
-                os.path.isdir(d)
-                and sum(f.endswith(".png") for f in os.listdir(d))
-                >= self.cfg.view_count
+            return os.path.isdir(d) and all(
+                os.path.exists(os.path.join(d, name)) for name in expected
             )
 
         def _filtered():

@@ -1,12 +1,18 @@
-"""Image quality metrics: PSNR and SSIM.
+"""Image quality metrics: PSNR, SSIM, and (optional) VMAF.
 
 Python equivalent of the reference's ffmpeg-based evaluation
-(reference: scripts/imageQualityMetrics.sh:6-9, which extracts ffmpeg's
-`psnr` average and `ssim` All scores). Computed here directly so the quality
-gates need no external tools.
+(reference: scripts/imageQualityMetrics.sh:6-12, which extracts ffmpeg's
+`psnr` average, `ssim` All, and libvmaf scores). PSNR/SSIM are computed here
+directly so the quality gates need no external tools; VMAF is a learned
+metric tied to the libvmaf model, so it shells out to an ffmpeg with libvmaf
+when one is available and is skipped gracefully otherwise.
 """
 
 from __future__ import annotations
+
+import re
+import shutil
+import subprocess
 
 import numpy as np
 
@@ -74,5 +80,56 @@ def ssim(a: np.ndarray, b: np.ndarray, max_value: float = 255.0) -> float:
     return float(np.mean(scores))
 
 
+_VMAF_RE = re.compile(r"VMAF score[:=]?\s*([0-9.]+)")
+
+
+def vmaf_available(ffmpeg: str = "ffmpeg") -> bool:
+    """True when an ffmpeg with the libvmaf filter is on PATH."""
+    if shutil.which(ffmpeg) is None:
+        return False
+    try:
+        out = subprocess.run(
+            [ffmpeg, "-hide_banner", "-filters"],
+            capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    return "libvmaf" in out.stdout
+
+
+def vmaf(path_a: str, path_b: str, ffmpeg: str = "ffmpeg") -> float | None:
+    """VMAF score of an image FILE pair via ffmpeg's libvmaf filter
+    (reference: scripts/imageQualityMetrics.sh:10-11). Returns None when no
+    libvmaf-enabled ffmpeg is available or the score can't be parsed --
+    callers treat VMAF as an optional extra next to PSNR/SSIM.
+    """
+    if not vmaf_available(ffmpeg):
+        return None
+    try:
+        out = subprocess.run(
+            [ffmpeg, "-hide_banner", "-i", path_a, "-i", path_b,
+             "-lavfi", "libvmaf", "-f", "null", "/dev/null"],
+            capture_output=True, text=True, timeout=300,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    m = _VMAF_RE.search(out.stderr) or _VMAF_RE.search(out.stdout)
+    return float(m.group(1)) if m else None
+
+
 def compare_images(a: np.ndarray, b: np.ndarray) -> dict[str, float]:
     return {"psnr": psnr(a, b), "ssim": ssim(a, b)}
+
+
+def compare_files(path_a: str, path_b: str, *, with_vmaf: bool = True) -> dict:
+    """PSNR/SSIM (+VMAF when available) of two image files."""
+    from ..io import codec
+
+    a = codec.decode(path_a)[:, :, :3]
+    b = codec.decode(path_b)[:, :, :3]
+    result: dict = compare_images(a, b)
+    if with_vmaf:
+        score = vmaf(path_a, path_b)
+        if score is not None:
+            result["vmaf"] = score
+    return result

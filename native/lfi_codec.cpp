@@ -2,16 +2,19 @@
 //
 // Role-equivalent of the reference's vendored stb_image / stb_image_write
 // (reference: src/lfLoader.cpp:36, src/interpolator.cu:313), built fresh on
-// libpng. Exposed through a tiny C ABI consumed via ctypes
+// libpng + libjpeg (the reference's own example input is JPEG,
+// src/main.cpp:17). Exposed through a tiny C ABI consumed via ctypes
 // (lfinterpolator_tpu/io/codec.py). Decode always yields RGBA8, matching the
 // loader contract (STBI_rgb_alpha semantics).
 
-#include <png.h>
-
+#include <cstddef>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <csetjmp>
+
+#include <jpeglib.h>  // needs <cstddef>/<cstdio> first (size_t, FILE)
+#include <png.h>
 
 extern "C" {
 
@@ -139,6 +142,83 @@ int lfi_encode_png_rgba(const char *path, int width, int height, int channels,
     png_destroy_write_struct(&png, &info);
     std::fclose(fp);
     std::free(rows);
+    return 0;
+}
+
+namespace {
+
+struct JpegErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<JpegErr *>(cinfo->err)->jump, 1);
+}
+
+}  // namespace
+
+// Decode a JPEG file to RGBA8. Returns 0 on success; *out receives a malloc'd
+// buffer of width*height*4 bytes (caller frees with lfi_free).
+int lfi_decode_jpeg_rgba(const char *path, int *width, int *height,
+                         unsigned char **out) {
+    *out = nullptr;
+    FILE *fp = std::fopen(path, "rb");
+    if (!fp) return 1;
+
+    jpeg_decompress_struct cinfo;
+    JpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = jpeg_err_exit;
+
+    // volatile: modified between setjmp and longjmp (C11 7.13.2.1).
+    unsigned char *volatile buf = nullptr;
+    if (setjmp(err.jump)) {  // libjpeg fatal error
+        jpeg_destroy_decompress(&cinfo);
+        std::fclose(fp);
+        std::free(buf);
+        return 4;
+    }
+
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, fp);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK)
+        longjmp(err.jump, 1);
+#ifdef JCS_EXTENSIONS
+    // libjpeg-turbo writes RGBA directly -- no repack pass.
+    cinfo.out_color_space = JCS_EXT_RGBA;
+    const int ch = 4;
+#else
+    cinfo.out_color_space = JCS_RGB;
+    const int ch = 3;
+#endif
+    jpeg_start_decompress(&cinfo);
+    const JDIMENSION w = cinfo.output_width;
+    const JDIMENSION h = cinfo.output_height;
+    buf = static_cast<unsigned char *>(std::malloc((size_t)w * h * 4));
+    if (!buf) longjmp(err.jump, 1);
+    while (cinfo.output_scanline < h) {
+        JSAMPROW row = buf + (size_t)cinfo.output_scanline * w * ch;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+#ifndef JCS_EXTENSIONS
+    // Expand packed RGB -> RGBA in place, back to front (read the triple
+    // before writing: source and destination overlap for the first pixels).
+    for (size_t i = (size_t)w * h; i-- > 0;) {
+        const unsigned char r = buf[i * 3 + 0], g = buf[i * 3 + 1],
+                            b = buf[i * 3 + 2];
+        buf[i * 4 + 0] = r;
+        buf[i * 4 + 1] = g;
+        buf[i * 4 + 2] = b;
+        buf[i * 4 + 3] = 0xFF;
+    }
+#endif
+    *width = (int)w;
+    *height = (int)h;
+    *out = buf;
     return 0;
 }
 

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""PSNR/SSIM for every same-named image in two directories
-(reference: scripts/compareDirs.sh).
+"""PSNR/SSIM (+VMAF when an ffmpeg with libvmaf is available) for every
+same-named image in two directories (reference: scripts/compareDirs.sh).
 
 Usage: compare_dirs.py DIR_A DIR_B [--json]
 """
@@ -29,13 +29,22 @@ def main() -> int:
     if not names:
         print("No matching image filenames.", file=sys.stderr)
         return 1
+    use_vmaf = metrics.vmaf_available()
     results = {}
     for n in names:
-        a = codec.decode(os.path.join(dir_a, n))[:, :, :3]
-        b = codec.decode(os.path.join(dir_b, n))[:, :, :3]
+        pa, pb = os.path.join(dir_a, n), os.path.join(dir_b, n)
+        a = codec.decode(pa)[:, :, :3]
+        b = codec.decode(pb)[:, :, :3]
         results[n] = metrics.compare_images(a, b)
+        if use_vmaf:
+            score = metrics.vmaf(pa, pb)
+            if score is not None:
+                results[n]["vmaf"] = score
         if not as_json:
-            print(f"{n} {results[n]['psnr']:.4f} {results[n]['ssim']:.6f}")
+            line = f"{n} {results[n]['psnr']:.4f} {results[n]['ssim']:.6f}"
+            if "vmaf" in results[n]:
+                line += f" {results[n]['vmaf']:.4f}"
+            print(line)
     if as_json:
         import math
 
@@ -44,13 +53,17 @@ def main() -> int:
 
         avg_psnr = sum(r["psnr"] for r in results.values()) / len(results)
         avg_ssim = sum(r["ssim"] for r in results.values()) / len(results)
-        print(json.dumps({
+        payload = {
             "files": {
                 n: {k: enc(v) for k, v in r.items()} for n, r in results.items()
             },
             "avg_psnr": enc(avg_psnr),
             "avg_ssim": enc(avg_ssim),
-        }))
+        }
+        vmafs = [r["vmaf"] for r in results.values() if "vmaf" in r]
+        if vmafs:
+            payload["avg_vmaf"] = enc(sum(vmafs) / len(vmafs))
+        print(json.dumps(payload))
     return 0
 
 

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""PSNR/SSIM of one image pair (reference: scripts/imageQualityMetrics.sh).
+"""PSNR/SSIM/VMAF of one image pair (reference: scripts/imageQualityMetrics.sh).
 
 Usage: image_quality_metrics.py INPUT REFERENCE
-Prints: "<psnr_db> <ssim>" (ffmpeg-style one-liner; VMAF is not reproduced --
-it needs the libvmaf model, out of scope for a self-contained repo).
+Prints: "<psnr_db> <ssim> [<vmaf>]" (ffmpeg-style one-liner). PSNR and SSIM
+are computed self-contained; VMAF (a learned metric tied to the libvmaf
+model, scripts/imageQualityMetrics.sh:10-11) shells out to an ffmpeg with
+libvmaf and is omitted from the line when none is available.
 """
 
 import os
@@ -21,7 +23,11 @@ def main() -> int:
         return 2
     a = codec.decode(sys.argv[1])[:, :, :3]
     b = codec.decode(sys.argv[2])[:, :, :3]
-    print(f"{metrics.psnr(a, b):.6f} {metrics.ssim(a, b):.6f}")
+    line = f"{metrics.psnr(a, b):.6f} {metrics.ssim(a, b):.6f}"
+    score = metrics.vmaf(sys.argv[1], sys.argv[2])
+    if score is not None:
+        line += f" {score:.6f}"
+    print(line)
     return 0
 
 

@@ -31,6 +31,19 @@ def test_loader_roundtrip(scene_dir):
     np.testing.assert_array_equal(lf.images, images)
 
 
+def test_loader_reference_order_transposes_placement(scene_dir):
+    """reference_order=True reproduces the reference binary's transposed grid
+    (src/lfLoader.cpp:64): image a_b.png lands at (col=b, row=a)."""
+    d, images, (cols, rows) = scene_dir
+    lf = loader.load_light_field(d, progress=False, reference_order=True)
+    assert (lf.cols, lf.rows) == (rows, cols)
+    for c in range(cols):
+        for r in range(rows):
+            np.testing.assert_array_equal(
+                lf.image(r, c), images[c * rows + r]
+            )
+
+
 def test_loader_missing_dir():
     with pytest.raises(FileNotFoundError):
         loader.load_light_field("/nonexistent/path", progress=False)
@@ -175,10 +188,14 @@ def test_interpolate_batch_matches_individual(scene_dir):
         np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
 
 
-def test_interpolate_batch_rejects_mixed_centers(scene_dir):
+def test_interpolate_batch_mixed_centers_matches_individual(scene_dir):
+    """Trajectories with differing centers are grouped and still exact."""
     d, _, _ = scene_dir
     interp = Interpolator(d, config=RenderConfig(view_count=4), progress=False)
-    with pytest.raises(ValueError, match="share one center"):
-        interp.interpolate_batch(
-            ["0.0,0.0,1.0,1.0", "0.0,0.0,0.5,0.5"], progress=False
-        )
+    # centers: (0.5,0.5), (0.25,0.25), (0.5,0.5) -- two groups, caller order
+    trajs = ["0.0,0.0,1.0,1.0", "0.0,0.0,0.5,0.5", "0.2,0.2,0.8,0.8"]
+    batch = interp.interpolate_batch(trajs, focus=0.3, progress=False)
+    assert len(batch) == 3
+    for t, res in zip(trajs, batch):
+        solo = interp.interpolate(t, focus=0.3, progress=False)
+        np.testing.assert_array_equal(res.views, solo.views, err_msg=t)

@@ -56,3 +56,24 @@ class TestNative:
             f.write(b"not a png at all")
         with pytest.raises(RuntimeError, match="Cannot load image"):
             codec.decode(bad)
+
+    def test_jpeg_decode_matches_pillow(self, tmp_path, rng):
+        """Native libjpeg decode agrees with Pillow on the same file (both
+        wrap libjpeg, so the DCT pipeline output is identical)."""
+        from PIL import Image
+
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        p = str(tmp_path / "t.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        nat = codec.decode(p)
+        pil = np.asarray(Image.open(p).convert("RGBA"), dtype=np.uint8)
+        assert nat.shape == pil.shape
+        assert (nat[:, :, 3] == 255).all()
+        np.testing.assert_array_equal(nat, pil)
+
+    def test_jpeg_decode_failure_falls_back(self, tmp_path):
+        bad = str(tmp_path / "bad.jpg")
+        with open(bad, "wb") as f:
+            f.write(b"definitely not a jpeg")
+        with pytest.raises(RuntimeError, match="Cannot load image"):
+            codec.decode(bad)

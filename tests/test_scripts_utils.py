@@ -34,6 +34,35 @@ def test_image_quality_metrics_script(tmp_path, rng):
     assert psnr == "inf" and float(ssim) == pytest.approx(1.0)
 
 
+def test_vmaf_skips_gracefully_without_ffmpeg(monkeypatch, tmp_path, rng):
+    """No libvmaf-enabled ffmpeg on PATH -> vmaf() is None, metrics still work."""
+    from lfinterpolator_tpu.utils import metrics
+
+    monkeypatch.setattr("shutil.which", lambda _: None)
+    pa = _write(tmp_path, "a.png", rng.integers(0, 256, (16, 16, 4), dtype=np.uint8))
+    assert not metrics.vmaf_available()
+    assert metrics.vmaf(pa, pa) is None
+    result = metrics.compare_files(pa, pa)
+    assert "vmaf" not in result and result["psnr"] == float("inf")
+
+
+def test_vmaf_parses_ffmpeg_output(monkeypatch, tmp_path, rng):
+    """With a (fake) libvmaf ffmpeg, the score is parsed from stderr and
+    reported next to psnr/ssim (reference: scripts/imageQualityMetrics.sh:10-11)."""
+    from lfinterpolator_tpu.utils import metrics
+
+    fake = tmp_path / "ffmpeg"
+    fake.write_text(
+        "#!/bin/sh\n"
+        'case "$*" in *-filters*) echo "libvmaf";; '
+        '*) echo "[libvmaf] VMAF score: 93.421" 1>&2;; esac\n'
+    )
+    fake.chmod(0o755)
+    pa = _write(tmp_path, "a.png", rng.integers(0, 256, (8, 8, 4), dtype=np.uint8))
+    assert metrics.vmaf_available(str(fake))
+    assert metrics.vmaf(pa, pa, ffmpeg=str(fake)) == pytest.approx(93.421)
+
+
 def test_compare_dirs_script(tmp_path, rng):
     d1 = tmp_path / "d1"; d2 = tmp_path / "d2"
     d1.mkdir(); d2.mkdir()

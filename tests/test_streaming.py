@@ -91,3 +91,25 @@ def test_render_to_dir_resume_skips_complete_frames(tmp_path, rng):
     assert stats2.frames == 3
     assert sorted(os.listdir(out)) == ["frame_00000", "frame_00001", "frame_00002"]
     assert len(os.listdir(tmp_path / "resume" / "frame_00002")) == 2
+
+
+def test_render_to_dir_resume_ignores_stray_pngs(tmp_path, rng):
+    """A frame dir holding only stray PNGs (a quilt, leftovers from a larger
+    view count) must NOT be treated as complete: the check looks for the
+    exact filenames write_views produces."""
+    frames = [
+        rng.integers(0, 256, size=(4, 12, 16, 4), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    sr = StreamingRenderer(
+        2, 2, 16, 12, "0,0,1,1", config=RenderConfig(view_count=2)
+    )
+    out = str(tmp_path / "stray")
+    d = tmp_path / "stray" / "frame_00000"
+    d.mkdir(parents=True)
+    # two stray PNGs: same count as view_count, wrong names
+    (d / "quilt.png").write_bytes(b"junk")
+    (d / "05.png").write_bytes(b"junk")
+    stats = sr.render_to_dir(iter(frames), out, resume=True)
+    assert stats.skipped == 0
+    assert (d / "00.png").exists() and (d / "01.png").exists()
