@@ -52,7 +52,9 @@ def _tiny_sync(out) -> None:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        corner = multihost_utils.process_allgather(corner)
+        # tiled=True: the corner of a sharded array is itself a global
+        # non-fully-addressable array, which untiled gathering rejects.
+        corner = multihost_utils.process_allgather(corner, tiled=True)
     _ = np.asarray(corner)
 
 

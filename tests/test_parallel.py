@@ -229,3 +229,42 @@ def test_interpolate_batch_with_mesh(devices, tmp_path, small_lf):
     for a, b in zip(want, got):
         diff = np.abs(a.views.astype(int) - b.views.astype(int))
         assert diff.max() <= 1
+
+
+def test_multihost_two_process_render():
+    """Real 2-process jax.distributed run (4 virtual CPU devices each):
+    initialize, shard a render across processes, and fetch through the
+    process_allgather branches of api._fetch/_tiny_sync. Subprocess-spawned
+    because a single pytest process can't be two JAX processes."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+    env = dict(
+        os.environ,
+        PYTHONPATH=f"{repo}:{os.environ.get('PYTHONPATH', '')}",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(r), "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for r in (0, 1)
+    ]
+    try:
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"MULTIHOST_OK rank {r}" in out
