@@ -50,7 +50,7 @@ class RenderConfig:
     # band of possible argmin flips at coordinate sign changes for ~5x
     # faster estimation (see ops/focus.py).
     exact_focus_taps: bool = True
-    # (Kernel tile sizes are chosen by ops.blend_pallas.default_tile from the
+    # (Kernel chunk sizes are chosen by ops.blend_pallas._auto_chunk from the
     # grid size, resolution, and view count -- they are a VMEM-budget
     # decision, not a user knob. Benchmark repetitions are the CLI -b /
     # api benchmark_runs parameter; the reference hard-codes 100,

@@ -2,32 +2,32 @@
 
 TPU-native re-design of the reference's tensor-core kernel
 (Tensors::process, reference: src/kernels.cu:398-461). The CUDA version tiles
-32 pixels x 16 images x 8 views onto WMMA fragments per warp; here one kernel
-instance owns a [TILE_H x TILE_W] spatial tile and performs the whole
-multi-view blend as MXU matmuls:
+32 pixels x 16 images x 8 views onto WMMA fragments per warp; here the blend
+is factored into two bandwidth-shaped stages:
 
-    out[v, c, th, :] = clip(rne( W[v, :] @ A[:, c*TH+th, :] ))
+  1. **clamped shift** (pure data movement, XLA): every image is shifted by
+     its per-image constant offset with cudaBoundaryModeClamp semantics
+     (src/kernels.cu:119-126) via ONE dynamic_slice of an edge-padded stack
+     -- the padding is built once per light field from a static shift bound,
+     so per-render cost is a single aligned device copy;
+  2. **flat MXU blend** (Pallas): the shifted stack is viewed as
+     [G, C*H*W] and blended in one matmul per lane-chunk,
 
-with A the [G, C*TILE_H, TILE_W] bf16 stage of all G clamp-shifted image
-windows, filled by a double-buffered HBM->VMEM DMA pipeline (the analogue of
-the CUDA kernel's shared-memory staging, src/kernels.cu:372-385).
+         out[v, p] = clip(rne( W[v, :] @ A[:, p] )),
 
-Clamped-shift handling without gathers or in-kernel fixup: the image stack is
-pre-padded by one tile of edge replication per side, so every shifted window
-is a plain contiguous slice:
+     with Mosaic's automatic double-buffered HBM->VMEM pipeline over chunks.
 
-    padded[g, c, q_y, q_x] = img[g, c, clip(q_y - TH, 0, H-1), clip(q_x - TW, 0, W-1)]
-    window start  sr = clip(tile_y*TH + dy_g + TH, 0, Hp - TH)   (same for x)
+Why flat: pixel tiles shaped [G, TH, TW] force sublane-strided row reads for
+the per-row matmuls (measured 3.4x slower); the [G, chunk] view keeps every
+VPU/MXU access contiguous and the kernel runs at the chip's effective copy
+bandwidth (~343 GB/s measured on v5e through this tunnel), i.e. it is
+HBM-bound, not compute-bound.
 
-which reproduces cudaBoundaryModeClamp reads exactly for every output pixel
-and any shift magnitude (starts are precomputed host-side into scalar-prefetch
-tables). The padding depends only on the images, so it is built once per
-light field, outside the render loop.
-
-Precision: weights are decomposed into hi+lo bfloat16 (two MXU passes with
-float32 accumulation), giving effectively-float32 weight precision -- better
-than the reference's fp16 weights and fp16 accumulation (src/kernels.cu:422).
-Pixels are exact in bf16 (integers <= 255).
+Precision: pixels are exact in f32; weights stay f32 and the MXU contraction
+accumulates in f32 (preferred_element_type) -- at worst 1 LSB from the
+reference STD kernel's float accumulation (src/kernels.cu:292-310) due to
+accumulation order, and strictly better than the reference tensor path's
+fp16 accumulators (src/kernels.cu:422).
 """
 
 from __future__ import annotations
@@ -56,234 +56,175 @@ def _interpret() -> bool:
     return os.environ.get("LFI_PALLAS_INTERPRET", "") == "1"
 
 
-# DMA pipeline depth: windows are small (tens of KB), so throughput is
-# latency-bound; several in-flight copies hide it (measured flat beyond 8).
-_N_BUF = 8
+def _align(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def default_tile(g: int, w: int, v: int = 64) -> tuple[int, int]:
-    """Pick (TILE_H, TILE_W).
+def shift_bound(
+    offsets, focus: float | tuple[float, float], h: int, w: int,
+    bucket: int = 128,
+) -> tuple[int, int]:
+    """Static (px, py) pad bound covering every focused shift.
 
-    Wide, short tiles minimize the number of per-image window DMAs (the
-    bottleneck) while keeping the VMEM working set -- the bf16 stage
-    (G*C*TH*TW*2B), the double-buffered output block (2*V*C*TH*TW), and the
-    DMA ring -- within budget.
+    `focus` is a value or (min, max) interval; bounds are computed host-side
+    from concrete offsets, bucketed so nearby focus values share one compiled
+    program, and capped at (w, h) -- a shift beyond the image size clamps
+    every read to the border, so larger bounds change nothing (clip
+    semantics in preshift match).
     """
-    tile_h = 8
-    tile_w = 2048
-    budget = 12 * 1024 * 1024
+    import numpy as np  # host-side only
 
-    def vmem_bytes(tw):
-        stage = g * 3 * tile_h * tw * 2
-        out_blocks = 2 * v * 3 * tile_h * tw
-        ring = _N_BUF * 3 * (tile_h + _SUB) * (tw + _LANE)
-        return stage + out_blocks + ring
-
-    while vmem_bytes(tile_w) > budget and tile_w > 128:
-        tile_w //= 2
-    tile_w = min(tile_w, max(128, -(-w // 128) * 128))
-    return tile_h, tile_w
+    offsets = np.asarray(offsets)
+    if np.ndim(focus) == 0:
+        focus = (float(focus), float(focus))
+    mx = max(abs(f) * float(np.abs(offsets[:, 0]).max()) for f in focus)
+    my = max(abs(f) * float(np.abs(offsets[:, 1]).max()) for f in focus)
+    rnd = lambda v: max(bucket, _align(int(np.ceil(v)) + 1, bucket))
+    return min(rnd(mx), w), min(rnd(my), h)
 
 
-# HBM uint8 arrays are (8, 128)-tiled on TPU: DMA window starts must sit on
-# tile boundaries. Windows are therefore fetched from the rounded-down tile
-# start with (SUB, LANE) extra rows/cols, and the sub-tile residual shift is
-# applied in-kernel with dynamic rotates.
-_SUB = 8
-_LANE = 128
+def pad_images(images: jnp.ndarray, px: int, py: int) -> jnp.ndarray:
+    """Edge-replicate pad [G, C, H, W] -> [G, C, H+2py+8, W+2px+128].
 
-
-def pad_images(images: jnp.ndarray, tile_h: int, tile_w: int) -> jnp.ndarray:
-    """Edge-replicate pad [G, C, H, W] -> [G, C, Hp, Wp] for the kernel.
-
-    Hp = ceil(H/TH)*TH + 2*TH + SUB (grid overrun + one clamp tile per side
-    + the tile-alignment fetch overhang).
+    The (px, py) sides encode the clamp for shifts up to the bound; the
+    extra bottom/right tail covers the alignment overhang of the shifted
+    window (rows to 8, lanes to 128). Built once per light field (per frame
+    when streaming). Implemented as explicit broadcast+concat: bit-identical
+    to jnp.pad(mode="edge") but ~2x faster on TPU, where XLA lowers edge
+    padding through a slow gather-style fill.
     """
     g, c, h, w = images.shape
-    h_ceil = -(-h // tile_h) * tile_h
-    w_ceil = -(-w // tile_w) * tile_w
-    return jnp.pad(
-        images,
-        (
-            (0, 0),
-            (0, 0),
-            (tile_h, tile_h + (h_ceil - h) + _SUB),
-            (tile_w, tile_w + (w_ceil - w) + _LANE),
-        ),
-        mode="edge",
-    )
+    top = jnp.broadcast_to(images[:, :, :1, :], (g, c, py, w))
+    bot = jnp.broadcast_to(images[:, :, h - 1 :, :], (g, c, py + 8, w))
+    x = jnp.concatenate([top, images, bot], axis=2)
+    hp = h + 2 * py + 8
+    left = jnp.broadcast_to(x[:, :, :, :1], (g, c, hp, px))
+    right = jnp.broadcast_to(x[:, :, :, w - 1 : w], (g, c, hp, px + 128))
+    return jnp.concatenate([left, x, right], axis=3)
 
 
-def split_weights(weights: jnp.ndarray) -> jnp.ndarray:
-    """[V, G] float32 -> [2, V, G] bfloat16 (hi, lo residual)."""
-    hi = weights.astype(jnp.bfloat16)
-    lo = (weights - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.stack([hi, lo])
+def _auto_chunk(l: int, target: int = 16384) -> int:
+    """Largest 128-multiple divisor of `l` not exceeding `target` lanes.
+
+    Big chunks amortize the per-step pipeline overhead; beyond ~16K lanes
+    the f32 accumulator tile no longer fits VMEM comfortably.
+    """
+    for size in range(min(target, l) // 128 * 128, 127, -128):
+        if l % size == 0:
+            return size
+    return l  # l < 128 (tiny images): single chunk
 
 
-def window_starts(
-    focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy)
+def preshift_flat(
+    padded: jnp.ndarray,  # [G, C, Hp, Wp] uint8 (from pad_images)
+    focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy), traced
+    *,
+    px: int,
+    py: int,
     h: int,
     w: int,
-    tile_h: int,
-    tile_w: int,
     row_start: jnp.ndarray | int = 0,
-    n_ti: int | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Scalar-prefetch tables sr [n_ti, G], sc [nTj, G] of window starts.
+    row_count: int | None = None,
+) -> jnp.ndarray:
+    """Clamp-shift every image -> flat [G, C*h_al*w_al] uint8.
 
-    `row_start`/`n_ti` select the tile rows covered (sharded row blocks);
-    `row_start` may be traced and need not be tile-aligned.
+    out[g, c, y, x] = img[g, c, clip(row_start+y+dy_g, 0, h-1),
+                          clip(x+dx_g, 0, w-1)]
+    for y < row_count, x < w (trailing alignment rows/cols hold edge filler).
+    Exact for |dy|<=py, |dx|<=px; shifts are clipped to (+-py, +-px), which
+    preserves semantics because the bound is >= max |shift| by construction
+    (shift_bound), and any shift >= image size saturates the clamp anyway.
     """
-    h_ceil = -(-h // tile_h) * tile_h
-    w_ceil = -(-w // tile_w) * tile_w
-    hp, wp = h_ceil + 2 * tile_h, w_ceil + 2 * tile_w
-    if n_ti is None:
-        n_ti = h_ceil // tile_h
-    n_tj = w_ceil // tile_w
-    dy = jnp.clip(focused_offsets[:, 1], -2 * h, 2 * h)
-    dx = jnp.clip(focused_offsets[:, 0], -2 * w, 2 * w)
-    # absolute output row of tile i is row_start + i*tile_h
-    base_rows = jnp.asarray(row_start, jnp.int32) + (
-        jnp.arange(n_ti, dtype=jnp.int32)[:, None] * tile_h
+    g, c = padded.shape[:2]
+    if row_count is None:
+        row_count = h
+    h_al = _align(int(row_count), 8)
+    w_al = _align(w, 128)
+    row_start = jnp.asarray(row_start, jnp.int32)
+
+    def one(img, o):
+        dy = jnp.clip(o[1], -py, py).astype(jnp.int32)
+        dx = jnp.clip(o[0], -px, px).astype(jnp.int32)
+        return lax.dynamic_slice(
+            img, (jnp.int32(0), py + dy + row_start, px + dx), (c, h_al, w_al)
+        )
+
+    return jax.vmap(one)(padded, focused_offsets).reshape(g, c * h_al * w_al)
+
+
+def _blend_kernel(x_ref, w_ref, out_ref):
+    # One MXU contraction per chunk: [V, G] @ [G, chunk] with f32
+    # accumulation; round-half-even + clip to u8 matches __float2int_rn
+    # (src/kernels.cu:301-310).
+    a = x_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+    acc = jnp.dot(w_ref[:, :], a, preferred_element_type=jnp.float32)
+    out_ref[:, :] = (
+        jnp.clip(jnp.round(acc), 0, 255).astype(jnp.int32).astype(jnp.uint8)
     )
-    tj = jnp.arange(n_tj, dtype=jnp.int32)[:, None]
-    # Exact starts in [0, hp-TH]; the kernel splits them into an aligned DMA
-    # start (floor to the HBM tile) plus an in-kernel residual rotate.
-    sr = jnp.clip(base_rows + dy[None, :] + tile_h, 0, hp - tile_h)
-    sc = jnp.clip(tj * tile_w + dx[None, :] + tile_w, 0, wp - tile_w)
-    return sr.astype(jnp.int32), sc.astype(jnp.int32)
 
 
-def _blend_kernel(tile_h, tile_w, g_count, sr_ref, sc_ref, images_ref, w_ref,
-                  out_ref, win, stage, sems):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    c = 3
-
-    def get_dma(slot, g):
-        # Align the window start down to the HBM (8,128) tile; fetch one extra
-        # tile of rows/cols so the residual rotate stays in-window.
-        sr_al = pl.multiple_of((sr_ref[ti, g] // _SUB) * _SUB, _SUB)
-        sc_al = pl.multiple_of((sc_ref[tj, g] // _LANE) * _LANE, _LANE)
-        return pltpu.make_async_copy(
-            images_ref.at[
-                g, :, pl.ds(sr_al, tile_h + _SUB), pl.ds(sc_al, tile_w + _LANE)
-            ],
-            win.at[slot],
-            sems.at[slot],
-        )
-
-    # Keep at most _N_BUF-1 copies in flight: starting window g+_N_BUF would
-    # target slot g%_N_BUF, racing the window being consumed this iteration.
-    for g0 in range(min(_N_BUF - 1, g_count)):  # warm-up
-        get_dma(g0, g0).start()
-
-    def stage_one(g, _):
-        slot = lax.rem(g, _N_BUF)
-
-        @pl.when(g + _N_BUF - 1 < g_count)
-        def _():
-            nxt = g + _N_BUF - 1
-            get_dma(lax.rem(nxt, _N_BUF), nxt).start()
-
-        get_dma(slot, g).wait()
-        rr = lax.rem(sr_ref[ti, g], _SUB)  # residual rows in [0, 8)
-        rc = lax.rem(sc_ref[tj, g], _LANE)  # residual cols in [0, 128)
-        for ch in range(c):
-            # Widen u8 -> i32 first: dynamic rotates need 32-bit lanes, and
-            # Mosaic has no direct u8->bf16 cast anyway (values <=255, exact).
-            w2 = win[slot, ch].astype(jnp.int32)  # [TH+8, TW+128]
-            w2 = pltpu.roll(w2, tile_h + _SUB - rr, axis=0)
-            w2 = pltpu.roll(w2, tile_w + _LANE - rc, axis=1)
-            w2 = w2[:tile_h, :tile_w]
-            stage[g, ch * tile_h : (ch + 1) * tile_h, :] = (
-                w2.astype(jnp.float32).astype(jnp.bfloat16)
-            )
-        return 0
-
-    lax.fori_loop(0, g_count, stage_one, 0, unroll=False)
-
-    w_hi = w_ref[0]
-    w_lo = w_ref[1]
-    for i in range(c * tile_h):  # static unroll: static slice + static store
-        a = stage[:, i, :]  # [G, TILE_W] bf16
-        acc = jnp.dot(w_hi, a, preferred_element_type=jnp.float32) + jnp.dot(
-            w_lo, a, preferred_element_type=jnp.float32
-        )
-        # No direct f32->u8 cast in Mosaic: round-half-even, clip, via i32.
-        out_ref[:, i // tile_h, i % tile_h, :] = (
-            jnp.clip(jnp.round(acc), 0, 255).astype(jnp.int32).astype(jnp.uint8)
-        )
+@jax.jit
+def blend_flat(
+    flat: jnp.ndarray,  # [G, L] uint8, L a multiple of 128 (lane-aligned)
+    weights: jnp.ndarray,  # [V, G] float32
+) -> jnp.ndarray:
+    """Flat multi-view blend -> [V, L] uint8 (the MXU hot loop)."""
+    g, l = flat.shape
+    v = weights.shape[0]
+    chunk = _auto_chunk(l)
+    return pl.pallas_call(
+        _blend_kernel,
+        grid=(l // chunk,),
+        in_specs=[
+            pl.BlockSpec((g, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (v, chunk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((v, l), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * v * g * l,
+            bytes_accessed=(g + v) * l,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(flat, weights)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "tile_h", "tile_w", "row_count")
+    jax.jit, static_argnames=("h", "w", "px", "py", "row_count")
 )
 def render_fixed_padded(
     padded: jnp.ndarray,  # [G, C, Hp, Wp] uint8 (from pad_images)
-    weights2: jnp.ndarray,  # [2, V, G] bfloat16 (from split_weights)
+    weights: jnp.ndarray,  # [V, G] float32
     focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy)
     *,
     h: int,
     w: int,
-    tile_h: int,
-    tile_w: int,
+    px: int,
+    py: int,
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
 ) -> jnp.ndarray:
     """Fixed-focus fused blend on a pre-padded stack -> [V, C, H, W] uint8.
 
-    `row_start`/`row_count` (multiples of tile_h; `row_start` may be traced)
-    restrict the output to a block of rows -- used by mesh-sharded rendering,
-    where every shard runs this kernel on its own row block against the
-    replicated padded stack.
+    `row_start`/`row_count` restrict the output to a block of rows (used by
+    mesh-sharded rendering; `row_start` may be traced).
     """
-    g, c, hp, wp = padded.shape
-    assert c == 3, "planar RGB expected"
-    v = weights2.shape[1]
+    g, c = padded.shape[:2]
+    v = weights.shape[0]
     h_out = h if row_count is None else int(row_count)
-    n_ti = -(-h_out // tile_h)
-    n_tj = (wp - 2 * tile_w - _LANE) // tile_w
-    sr, sc = window_starts(
-        focused_offsets, h, w, tile_h, tile_w,
-        row_start=row_start, n_ti=n_ti,
+    h_al = _align(h_out, 8)
+    w_al = _align(w, 128)
+    flat = preshift_flat(
+        padded, focused_offsets, px=px, py=py, h=h, w=w,
+        row_start=row_start, row_count=h_out,
     )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_ti, n_tj),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
-        ],
-        out_specs=pl.BlockSpec(
-            (v, c, tile_h, tile_w), lambda ti, tj, sr, sc: (0, 0, ti, tj)
-        ),
-        scratch_shapes=[
-            # DMA ring buffer (one extra HBM tile of rows/cols per window)
-            pltpu.VMEM((_N_BUF, c, tile_h + _SUB, tile_w + _LANE), jnp.uint8),
-            pltpu.VMEM((g, c * tile_h, tile_w), jnp.bfloat16),  # stage A
-            pltpu.SemaphoreType.DMA((_N_BUF,)),
-        ],
-    )
-    kernel = functools.partial(_blend_kernel, tile_h, tile_w, g)
-    flops = 2 * 2 * v * g * c * (n_ti * tile_h) * (n_tj * tile_w)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, c, h_out, w), jnp.uint8),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=g * c * (n_ti * tile_h) * (n_tj * tile_w)
-            + v * c * h_out * w,
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(sr, sc, padded, weights2)
+    out = blend_flat(flat, weights).reshape(v, c, h_al, w_al)
+    if (h_al, w_al) != (h_out, w):
+        out = out[:, :, :h_out, :w]
+    return out
 
 
 def render_fixed(
@@ -291,20 +232,24 @@ def render_fixed(
     weights: jnp.ndarray,  # [V, G] float32
     focused_offsets: jnp.ndarray,  # [G, 2] int32
 ) -> jnp.ndarray:
-    """Convenience wrapper: pads + splits weights per call.
+    """Jittable convenience wrapper (traced offsets, no static shift bound).
 
-    For repeated rendering, pre-pad once with pad_images() and call
-    render_fixed_padded().
+    Uses the general concat-based clamp shift, so it works for arbitrary
+    traced shifts inside an outer jit; repeated rendering should pre-pad
+    once with pad_images()/shift_bound() and call render_fixed_padded().
     """
+    from . import blend_xla
+
     g, c, h, w = images.shape
-    tile_h, tile_w = default_tile(g, w, v=weights.shape[0])
-    padded = pad_images(images, tile_h, tile_w)
-    return render_fixed_padded(
-        padded,
-        split_weights(weights),
-        focused_offsets,
-        h=h,
-        w=w,
-        tile_h=tile_h,
-        tile_w=tile_w,
-    )
+    h_al, w_al = _align(h, 8), _align(w, 128)
+    shifted = blend_xla.shift_stack(images, focused_offsets)
+    if (h_al, w_al) != (h, w):
+        shifted = jnp.pad(
+            shifted, ((0, 0), (0, 0), (0, h_al - h), (0, w_al - w)), mode="edge"
+        )
+    out = blend_flat(
+        shifted.reshape(g, c * h_al * w_al), weights
+    ).reshape(weights.shape[0], c, h_al, w_al)
+    if (h_al, w_al) != (h, w):
+        out = out[:, :, :h, :w]
+    return out

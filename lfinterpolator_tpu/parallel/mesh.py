@@ -104,25 +104,25 @@ def render_fixed_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "h", "w", "tile_h", "tile_w"),
+    static_argnames=("mesh", "h", "w", "px", "py"),
 )
 def render_fixed_sharded_pallas(
     mesh: Mesh,
     padded: jnp.ndarray,  # [G, C, Hp, Wp] uint8 (blend_pallas.pad_images), replicated
-    weights2: jnp.ndarray,  # [2, V, G] bfloat16, sharded over "view" (dim 1)
+    weights: jnp.ndarray,  # [V, G] float32, sharded over "view"
     focused_offsets: jnp.ndarray,  # [G, 2] int32, replicated
     *,
     h: int,
     w: int,
-    tile_h: int,
-    tile_w: int,
+    px: int,
+    py: int,
 ) -> jnp.ndarray:
     """Fixed-focus render with the fused Pallas MXU kernel on every shard.
 
     Each shard runs the single-chip kernel on its own row block (row_start
-    folded into the scalar-prefetched window-start tables) with its view-shard
-    of the weights -- same zero-communication layout as render_fixed_sharded,
-    but at the fused kernel's throughput. Requires H divisible by the space
+    folded into the clamp-shift slice starts) with its view-shard of the
+    weights -- same zero-communication layout as render_fixed_sharded, but
+    at the fused kernel's throughput. Requires H divisible by the space
     axis; TPU (or interpret-mode) only.
     """
     from ..ops import blend_pallas
@@ -132,21 +132,21 @@ def render_fixed_sharded_pallas(
         raise ValueError(f"H={h} must divide by the space axis ({n_space})")
     h_local = h // n_space
 
-    def local_render(padded_l, weights2_l, offs_l):
+    def local_render(padded_l, weights_l, offs_l):
         row0 = jax.lax.axis_index("space") * h_local
         return blend_pallas.render_fixed_padded(
-            padded_l, weights2_l, offs_l,
-            h=h, w=w, tile_h=tile_h, tile_w=tile_w,
+            padded_l, weights_l, offs_l,
+            h=h, w=w, px=px, py=py,
             row_start=row0, row_count=h_local,
         )
 
     return shard_map(
         local_render,
         mesh=mesh,
-        in_specs=(P(), P(None, "view", None), P()),
+        in_specs=(P(), P("view", None), P()),
         out_specs=P("view", None, "space", None),
         check_vma=False,
-    )(padded, weights2, focused_offsets)
+    )(padded, weights, focused_offsets)
 
 
 @partial(

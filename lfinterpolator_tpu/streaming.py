@@ -92,21 +92,22 @@ class StreamingRenderer:
             self.cfg.method in ("TEN", "TEN_WM") and blend_pallas.is_available()
         )
         if self._use_pallas:
-            self._tile = blend_pallas.default_tile(
-                cols * rows, width, v=self.cfg.view_count
+            # Shifts are fixed across the stream, so the clamp-pad bound is
+            # tight and the per-frame pad stays small (vs one tile per side).
+            self._bound = blend_pallas.shift_bound(
+                offsets, self.cfg.focus, height, width
             )
-            self._weights2 = blend_pallas.split_weights(self.weights)
             self._pad = jax.jit(
                 blend_pallas.pad_images, static_argnums=(1, 2), donate_argnums=(0,)
             )
 
     def _render(self, images_planar: jnp.ndarray) -> jnp.ndarray:
         if self._use_pallas:
-            th, tw = self._tile
-            padded = self._pad(images_planar, th, tw)
+            px, py = self._bound
+            padded = self._pad(images_planar, px, py)
             return blend_pallas.render_fixed_padded(
-                padded, self._weights2, self.focused,
-                h=self.height, w=self.width, tile_h=th, tile_w=tw,
+                padded, self.weights, self.focused,
+                h=self.height, w=self.width, px=px, py=py,
             )
         return pipeline.render_fixed_focus(
             images_planar, self.weights, self.focused, method="STD"

@@ -1,11 +1,12 @@
 """Golden tests for the fused Pallas MXU blend kernel (interpret mode on CPU).
 
 The same kernel is validated on real TPU hardware by bench.py and the driver's
-compile check; here interpret mode verifies the semantics (DMA windows,
-residual rotates, matmul epilogue) against the oracle.
+compile check; here interpret mode verifies the semantics (clamp-shift
+preshift, flat-chunk matmul, rounding epilogue) against the oracle.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -22,6 +23,19 @@ def _run(images, wm, fo):
     planar = blend_xla.to_planar(jnp.asarray(images))
     got = blend_pallas.render_fixed(
         planar, jnp.asarray(wm.astype(np.float32)), jnp.asarray(fo)
+    )
+    return np.asarray(blend_xla.from_planar(got))
+
+
+def _run_padded(images, wm, fo, focus_interval, **kw):
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    h, w = images.shape[1:3]
+    offsets = kw.pop("offsets")
+    px, py = blend_pallas.shift_bound(offsets, focus_interval, h, w)
+    padded = blend_pallas.pad_images(planar, px, py)
+    got = blend_pallas.render_fixed_padded(
+        padded, jnp.asarray(wm.astype(np.float32)), jnp.asarray(fo),
+        h=h, w=w, px=px, py=py, **kw,
     )
     return np.asarray(blend_xla.from_planar(got))
 
@@ -67,7 +81,7 @@ def test_matches_oracle_huge_shifts_clamp(rng):
 
 
 def test_nonaligned_resolution(rng):
-    # Odd sizes exercise grid-overrun cropping and residual rotates.
+    # Odd sizes exercise the alignment pad + trim of the flat layout.
     images, wm, offsets = _setup(rng, 2, 2, 21, 37)
     fo = geometry.focused_offsets(offsets, 0.7)
     want = oracle.blend_fixed(images, wm, fo)
@@ -76,18 +90,68 @@ def test_nonaligned_resolution(rng):
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
-def test_split_weights_roundtrip(rng):
-    w = rng.random((16, 64), dtype=np.float32)
-    two = np.asarray(blend_pallas.split_weights(jnp.asarray(w)))
-    recon = two[0].astype(np.float32) + two[1].astype(np.float32)
-    assert np.abs(recon - w).max() < 2e-5  # ~f32-precision weights
+def test_padded_path_matches_oracle(rng):
+    """The pre-padded fast path (shift_bound + pad_images) is clamp-exact,
+    including shifts that clip against the pad bound and odd sizes."""
+    images, wm, offsets = _setup(rng, 3, 3, 29, 45)
+    for focus in [0.0, 0.6, -0.8, 25.0]:
+        fo = geometry.focused_offsets(offsets, focus)
+        want = oracle.blend_fixed(images, wm, fo)
+        got = _run_padded(images, wm, fo, focus, offsets=offsets)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, focus
 
 
-def test_window_starts_alignment_invariants():
-    fo = jnp.asarray(np.array([[5, -7], [-300, 300]], np.int32))
-    sr, sc = blend_pallas.window_starts(fo, h=100, w=200, tile_h=8, tile_w=128)
-    hp = -(-100 // 8) * 8 + 16
-    wp = -(-200 // 128) * 128 + 256
-    assert sr.shape == (-(-100 // 8), 2)
-    assert (np.asarray(sr) >= 0).all() and (np.asarray(sr) <= hp - 8).all()
-    assert (np.asarray(sc) >= 0).all() and (np.asarray(sc) <= wp - 128).all()
+def test_padded_path_interval_bound(rng):
+    """One padded stack (interval bound) serves several focus values."""
+    images, wm, offsets = _setup(rng, 2, 2, 32, 64)
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    px, py = blend_pallas.shift_bound(offsets, (-0.5, 0.9), 32, 64)
+    padded = blend_pallas.pad_images(planar, px, py)
+    for focus in [-0.5, 0.0, 0.33, 0.9]:
+        fo = geometry.focused_offsets(offsets, focus)
+        want = oracle.blend_fixed(images, wm, fo)
+        got = np.asarray(blend_xla.from_planar(
+            blend_pallas.render_fixed_padded(
+                padded, jnp.asarray(wm.astype(np.float32)), jnp.asarray(fo),
+                h=32, w=64, px=px, py=py,
+            )
+        ))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, focus
+
+
+def test_row_block_matches_full_render(rng):
+    """row_start/row_count (the mesh-shard path) equals the full render's
+    rows, including a non-multiple-of-8 block and a traced row_start."""
+    images, wm, offsets = _setup(rng, 2, 2, 40, 64)
+    fo = geometry.focused_offsets(offsets, 0.45)
+    full = _run_padded(images, wm, fo, 0.45, offsets=offsets)
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    px, py = blend_pallas.shift_bound(offsets, 0.45, 40, 64)
+    padded = blend_pallas.pad_images(planar, px, py)
+    for row_start, row_count in [(0, 8), (16, 24), (25, 15), (35, 5)]:
+        got = np.asarray(blend_xla.from_planar(
+            blend_pallas.render_fixed_padded(
+                padded, jnp.asarray(wm.astype(np.float32)), jnp.asarray(fo),
+                h=40, w=64, px=px, py=py,
+                row_start=jnp.int32(row_start), row_count=row_count,
+            )
+        ))
+        np.testing.assert_array_equal(
+            got, full[:, row_start : row_start + row_count],
+            err_msg=f"rows [{row_start}, {row_start+row_count})",
+        )
+
+
+def test_auto_chunk_invariants():
+    for l in [128, 1024, 3 * 1080 * 1920, 3 * 48 * 128, 6220800]:
+        c = blend_pallas._auto_chunk(l)
+        assert l % c == 0 and c % 128 == 0 and c <= 16384
+    assert blend_pallas._auto_chunk(3 * 8 * 1920) == 15360
+
+
+def test_shift_bound_covers_and_caps():
+    offsets = np.array([[500.0, -300.0], [-40.0, 20.0]], np.float32)
+    px, py = blend_pallas.shift_bound(offsets, 0.5, 1080, 1920)
+    assert px >= 250 and py >= 150  # covers max |shift|
+    px, py = blend_pallas.shift_bound(offsets, 100.0, 64, 128)
+    assert px <= 128 and py <= 64  # capped at image size (clamp saturates)

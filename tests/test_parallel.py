@@ -193,17 +193,17 @@ def test_sharded_pallas_kernel_matches_full(devices, monkeypatch):
     off = geometry.compute_offsets(2, 2, w, h, 1.0, geometry.trajectory_center(se))
     fo = jnp.asarray(geometry.focused_offsets(off, 0.35))
     planar = blend_xla.to_planar(jnp.asarray(images))
-    th, tw = 8, 128
-    padded = jax.jit(bp.pad_images, static_argnums=(1, 2))(planar, th, tw)
-    w2 = bp.split_weights(jnp.asarray(wm))
+    px, py = bp.shift_bound(off, 0.35, h, w)
+    padded = jax.jit(bp.pad_images, static_argnums=(1, 2))(planar, px, py)
+    weights = jnp.asarray(wm)
     full = np.asarray(
-        bp.render_fixed_padded(padded, w2, fo, h=h, w=w, tile_h=th, tile_w=tw)
+        bp.render_fixed_padded(padded, weights, fo, h=h, w=w, px=px, py=py)
     )
     m = pmesh.make_mesh(devices, view_parallel=2)
     padded_r = jax.device_put(padded, NamedSharding(m, P()))
-    w2_s = jax.device_put(w2, NamedSharding(m, P(None, "view", None)))
+    w_s = jax.device_put(weights, NamedSharding(m, P("view", None)))
     out = pmesh.render_fixed_sharded_pallas(
-        m, padded_r, w2_s, fo, h=h, w=w, tile_h=th, tile_w=tw
+        m, padded_r, w_s, fo, h=h, w=w, px=px, py=py
     )
     np.testing.assert_array_equal(np.asarray(out), full)
 
