@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from lfinterpolator_tpu.core import geometry
 from lfinterpolator_tpu.ops import blend_pallas, blend_xla, focus as focus_ops, quilt
@@ -173,12 +174,51 @@ def bench_c2():
           gps / BASELINE_GPS)
 
 
+def _structured_scene(cols, rows, h, w):
+    """Multi-plane light field: 3 depth bands, each texture-shifted per
+    camera (on-device). Focus estimation on iid noise is meaningless -- no
+    scene has uncorrelated disparity -- so the all-focus config uses
+    realistic structured content (the estimate sweep itself is
+    content-independent; the blend's level restriction is what real smooth
+    depth maps exercise)."""
+    g = cols * rows
+    tex = jax.random.randint(
+        jax.random.key(7), (3, h + 256, w + 256), 0, 255, jnp.int32
+    ).astype(jnp.uint8)
+    # smooth the texture so the disparity search has signal
+    t = tex.astype(jnp.float32)
+    t = (t + jnp.roll(t, 1, 1) + jnp.roll(t, 1, 2) + jnp.roll(t, 2, 1)) / 4
+    tex = t.astype(jnp.uint8)
+    band = h // 3
+    pos = jnp.asarray(
+        [[c - (cols - 1) / 2, r - (rows - 1) / 2]
+         for c in range(cols) for r in range(rows)], jnp.float32
+    )
+
+    @jax.jit
+    def make():
+        def one(p):
+            def plane(depth_px):
+                dx = (p[0] * depth_px).astype(jnp.int32) + 128
+                dy = (p[1] * depth_px).astype(jnp.int32) + 128
+                return lax.dynamic_slice(tex, (0, dy, dx), (3, h, w))
+            near, mid, far = plane(24.0), plane(8.0), plane(0.0)
+            yy = lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+            return jnp.where(
+                yy < band, near, jnp.where(yy < 2 * band, mid, far)
+            )
+        return jax.vmap(one)(pos)
+
+    return jax.block_until_ready(make())
+
+
 def bench_c3():
     # BASELINE config 3: 4x4 grid, 1080p, per-pixel focus-map disparity
     # search fused with blending (focus views capped at the grid size).
     cols = rows = 4
     h, w, v = 1080, 1920, 64
-    start_end, wm, offsets, planar = _setup(cols, rows, h, w, v)
+    start_end, wm, offsets, _ = _setup(cols, rows, h, w, v)
+    planar = _structured_scene(cols, rows, h, w)
     ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 16))
     radius = geometry.block_radius(w, h)
     frad = (radius[0] // 10, radius[1] // 10)

@@ -184,8 +184,11 @@ def estimate_focus_map(
         shifted = shift_views(fyi, fxi)  # [K, C, h_out+2ry, W+2rx] uint8
         mn = jnp.min(shifted, axis=0)
         mx = jnp.max(shifted, axis=0)
-        cheby = jnp.max(mx - mn, axis=0).astype(jnp.int32)  # [h_out+2ry, W+2rx]
-        cost = jnp.zeros((h_out, w), jnp.int32)
+        # Costs fit i16 (<= 9 cells * 255): halves accumulator traffic.
+        cheby = jnp.max(
+            mx.astype(jnp.int16) - mn.astype(jnp.int16), axis=0
+        )  # [h_out+2ry, W+2rx]
+        cost = jnp.zeros((h_out, w), jnp.int16)
         for sx, sy in stencil:
             cost = cost + lax.dynamic_slice(cheby, (ry + sy, rx + sx), (h_out, w))
         return cost
@@ -203,7 +206,7 @@ def estimate_focus_map(
         def sel(d, minus, base, plus):
             return jnp.where(d == 1, plus, jnp.where(d == -1, minus, base))
 
-        cost = jnp.zeros((h_out, w), jnp.int32)
+        cost = jnp.zeros((h_out, w), jnp.int16)
         for sy in (-ry, 0, ry):
             oy = ry + 1 + sy
             # Row-rule select hoisted across the 3 sx cells of this row.
@@ -224,7 +227,8 @@ def estimate_focus_map(
                 rng = jnp.max(tap, axis=0).astype(jnp.int16) - jnp.min(
                     tap, axis=0
                 ).astype(jnp.int16)
-                cost = cost + jnp.max(rng, axis=0).astype(jnp.int32)
+                # Costs fit i16 (<= 9 * 255): halves accumulator traffic.
+                cost = cost + jnp.max(rng, axis=0)
         return cost
 
     cost_fn = cost_exact if exact_taps else cost_fast
@@ -236,12 +240,12 @@ def estimate_focus_map(
         better = cost < best_cost  # strict: first minimum wins, like MinDispersion
         best_cost = jnp.where(better, cost, best_cost)
         best_idx = jnp.where(better, i, best_idx)
-        return (best_cost, best_idx, i + 1), None
+        return (best_cost, best_idx, i + jnp.int16(1)), None
 
     init = (
-        jnp.full((h_out, w), jnp.iinfo(jnp.int32).max, jnp.int32),
-        jnp.zeros((h_out, w), jnp.int32),
-        jnp.int32(0),
+        jnp.full((h_out, w), jnp.iinfo(jnp.int16).max, jnp.int16),
+        jnp.zeros((h_out, w), jnp.int16),
+        jnp.int16(0),
     )
     (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, (fxs, fys))
 
