@@ -87,9 +87,18 @@ def render_all_focus(
     )
     map1 = focus_ops.filter_focus_map(map0, filter_radius)
     if method == "STD":
-        views = blend_xla.render_allfocus(
-            images, weights, offsets, map1, focus, focus_range
-        )
+        # The filtered map has arbitrary bytes; the 256-byte-level scan is
+        # exact for any map and skips absent bytes at runtime (the general
+        # gather fallback is ~5-25x slower on TPU).
+        if pad is not None:
+            views = blend_xla.render_allfocus_quantized(
+                images, weights, offsets, map1, focus, focus_range,
+                steps=steps, pad=pad, all_bytes=True,
+            )
+        else:
+            views = blend_xla.render_allfocus(
+                images, weights, offsets, map1, focus, focus_range
+            )
     else:
         views = blend_xla.render_allfocus_quantized(
             images, weights, offsets, map0, focus, focus_range,

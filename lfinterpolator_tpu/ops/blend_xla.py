@@ -239,6 +239,7 @@ def render_allfocus_quantized(
     pad: tuple[int, int] | None = None,  # static (px, py) >= max |shift|
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
+    all_bytes: bool = False,
 ) -> jnp.ndarray:
     """Per-pixel-focus render for maps quantized to `steps` byte levels.
 
@@ -250,7 +251,10 @@ def render_allfocus_quantized(
     `steps` constant-shift image stacks -- pure data movement + masks instead
     of the general gather (which is ~25x slower on TPU). Pixels whose byte is
     not one of the levels would be dropped; callers must only pass maps
-    produced by the estimator.
+    produced by the estimator -- or set ``all_bytes=True`` to scan all 256
+    byte values (exact for ANY map, e.g. the box-filtered one the STD method
+    reads, src/kernels.cu:326; absent bytes are skipped at runtime, and
+    filtered real-scene maps cluster to a few tens of distinct bytes).
 
     Numerics: per-level shift uses floor(f_level * offset), equal to the
     reference's per-pixel int() truncation everywhere except pixels pushed
@@ -263,10 +267,13 @@ def render_allfocus_quantized(
     # (src/kernels.cu:134-137).
     focus = jnp.asarray(focus, jnp.float32)
     focus_range = jnp.asarray(focus_range, jnp.float32)
-    idx = jnp.arange(steps, dtype=jnp.float32)
-    step = focus_range / jnp.float32(steps - 1)
-    norm = ((focus + step * idx) - focus) / focus_range
-    levels = jnp.floor(norm * jnp.float32(255) + 0.5).astype(jnp.uint8)
+    if all_bytes:
+        levels = jnp.arange(256, dtype=jnp.uint8)
+    else:
+        idx = jnp.arange(steps, dtype=jnp.float32)
+        step = focus_range / jnp.float32(steps - 1)
+        norm = ((focus + step * idx) - focus) / focus_range
+        levels = jnp.floor(norm * jnp.float32(255) + 0.5).astype(jnp.uint8)
     f_levels = focus + levels.astype(jnp.float32) / jnp.float32(255) * focus_range
     # True fractional per-level, per-image shifts (trunc applied per pixel by
     # trunc_shifted_window, matching focusCoords exactly).

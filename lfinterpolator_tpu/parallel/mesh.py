@@ -206,9 +206,10 @@ def render_all_focus_sharded(
             map0_full, filter_radius, row0, h_local
         )
         if method == "STD":
-            views_l = blend_xla.render_allfocus(
+            views_l = blend_xla.render_allfocus_quantized(
                 images_l, weights_l, offsets_l, map1_l, focus, focus_range,
-                row_start=row0, row_count=h_local,
+                steps=steps, pad=pad, row_start=row0, row_count=h_local,
+                all_bytes=True,
             )
         else:
             views_l = blend_xla.render_allfocus_quantized(
