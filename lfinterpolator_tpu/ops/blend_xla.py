@@ -217,13 +217,62 @@ def render_fixed(
     return blend(shift_stack(images, focused_offsets), weights)
 
 
+def no_fma(x: jnp.ndarray) -> jnp.ndarray:
+    """Round an intermediate f32 product before it feeds an add.
+
+    XLA on TPU contracts `a*b + c` chains into FMAs, skipping the product's
+    IEEE rounding. Any expression that later feeds a truncation
+    (`int(coord + shift)`) must round exactly like the two-op oracle, or a
+    1-ulp difference flips the source pixel entirely (measured: border
+    pixels off by up to 27/255 at max-focus bytes before this barrier).
+    """
+    return lax.optimization_barrier(x)
+
+
+def div_exact(a: jnp.ndarray, b) -> jnp.ndarray:
+    """Correctly-rounded f32 division.
+
+    XLA:TPU lowers f32 `/` to reciprocal-multiply, which misrounds ~1/3 of
+    quotients by 1 ulp (measured 34% on random operands). Focus values and
+    map bytes are quotients that feed C truncation / rounding, so a 1-ulp
+    difference vs the IEEE-dividing oracle (and the reference's CUDA f32
+    divide) flips whole source pixels. Markstein correction: refine the
+    approximate quotient with an EXACT residual computed via Dekker/Veltkamp
+    two-product (mul/add are correctly rounded on TPU; barriers keep XLA
+    from re-fusing the algebra away).
+    """
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32) * jnp.ones_like(a)
+    q = lax.optimization_barrier(a / b)
+    # Dekker two-product: q*b = p + e exactly.
+    split = jnp.float32(4097.0)  # 2^12 + 1 splitter for f32
+    tq = lax.optimization_barrier(q * split)
+    q_hi = lax.optimization_barrier(tq - lax.optimization_barrier(tq - q))
+    q_lo = q - q_hi
+    tb = lax.optimization_barrier(b * split)
+    b_hi = lax.optimization_barrier(tb - lax.optimization_barrier(tb - b))
+    b_lo = b - b_hi
+    p = lax.optimization_barrier(q * b)
+    e = lax.optimization_barrier(
+        lax.optimization_barrier(
+            lax.optimization_barrier(
+                lax.optimization_barrier(q_hi * b_hi) - p
+            )
+            + lax.optimization_barrier(q_hi * b_lo)
+        )
+        + lax.optimization_barrier(q_lo * b_hi)
+    ) + lax.optimization_barrier(q_lo * b_lo)
+    r = lax.optimization_barrier(a - p) - e  # exact residual a - q*b
+    return q + r / b  # |r/b| < 1 ulp(q): final add rounds correctly
+
+
 def focus_values_from_map(
     focus_map: jnp.ndarray, focus: jnp.ndarray, focus_range: jnp.ndarray
 ) -> jnp.ndarray:
     """uint8 map -> per-pixel focus (loadFocusFromMap, src/kernels.cu:134-137)."""
-    return (
-        focus.astype(jnp.float32)
-        + focus_map.astype(jnp.float32) / jnp.float32(255) * focus_range.astype(jnp.float32)
+    return focus.astype(jnp.float32) + no_fma(
+        div_exact(focus_map.astype(jnp.float32), jnp.float32(255))
+        * focus_range.astype(jnp.float32)
     )
 
 
@@ -271,10 +320,12 @@ def render_allfocus_quantized(
         levels = jnp.arange(256, dtype=jnp.uint8)
     else:
         idx = jnp.arange(steps, dtype=jnp.float32)
-        step = focus_range / jnp.float32(steps - 1)
-        norm = ((focus + step * idx) - focus) / focus_range
-        levels = jnp.floor(norm * jnp.float32(255) + 0.5).astype(jnp.uint8)
-    f_levels = focus + levels.astype(jnp.float32) / jnp.float32(255) * focus_range
+        step = div_exact(focus_range, jnp.float32(steps - 1))
+        norm = div_exact((focus + no_fma(step * idx)) - focus, focus_range)
+        levels = jnp.floor(no_fma(norm * jnp.float32(255)) + 0.5).astype(jnp.uint8)
+    f_levels = focus + no_fma(
+        div_exact(levels.astype(jnp.float32), jnp.float32(255)) * focus_range
+    )
     # True fractional per-level, per-image shifts (trunc applied per pixel by
     # trunc_shifted_window, matching focusCoords exactly).
     fxs = f_levels[:, None] * offsets[None, :, 0]  # [steps, G]
@@ -440,8 +491,8 @@ def render_allfocus(
     xx = lax.broadcasted_iota(jnp.float32, (h_out, w), 1)
 
     def one(img, off):
-        cx = jnp.clip(jnp.trunc(xx + fv * off[0]).astype(jnp.int32), 0, w - 1)
-        cy = jnp.clip(jnp.trunc(yy + fv * off[1]).astype(jnp.int32), 0, h - 1)
+        cx = jnp.clip(jnp.trunc(xx + no_fma(fv * off[0])).astype(jnp.int32), 0, w - 1)
+        cy = jnp.clip(jnp.trunc(yy + no_fma(fv * off[1])).astype(jnp.int32), 0, h - 1)
         flat_idx = (cy * w + cx).reshape(-1)  # [H*W]
         return jnp.take(img.reshape(c, h * w), flat_idx, axis=1)  # [C, H*W]
 

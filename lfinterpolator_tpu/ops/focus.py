@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .blend_xla import (
+    div_exact,
+    no_fma,
     shift_clamped,
     trunc_offsets,
     trunc_shifted_window as blend_xla_trunc_window,
@@ -122,8 +124,13 @@ def estimate_focus_map(
     row_start = jnp.asarray(row_start, jnp.int32)
     focus = jnp.asarray(focus, jnp.float32)
     focus_range = jnp.asarray(focus_range, jnp.float32)
-    step = focus_range / jnp.float32(steps - 1)
-    candidates = focus + step * jnp.arange(steps, dtype=jnp.float32)  # [steps]
+    # div_exact/no_fma: candidate values must round like the oracle's
+    # op-by-op numpy expression -- TPU reciprocal-division and FMA fusion
+    # each introduce 1-ulp differences that flip truncated coordinates.
+    step = div_exact(focus_range, jnp.float32(steps - 1))
+    candidates = focus + no_fma(
+        step * jnp.arange(steps, dtype=jnp.float32)
+    )  # [steps]
     # Per-candidate, per-view true fractional shifts; per-pixel C truncation
     # is applied by trunc_shifted_window (exact vs the oracle, except that
     # stencil taps evaluate the trunc rule at the tap rather than the center
@@ -249,9 +256,9 @@ def estimate_focus_map(
     )
     (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, (fxs, fys))
 
-    best_focus = focus + step * best_idx.astype(jnp.float32)
-    normalized = (best_focus - focus) / focus_range
-    return round_half_away(normalized * jnp.float32(255)).astype(jnp.uint8)
+    best_focus = focus + no_fma(step * best_idx.astype(jnp.float32))
+    normalized = div_exact(best_focus - focus, focus_range)
+    return round_half_away(no_fma(normalized * jnp.float32(255))).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -274,7 +281,7 @@ def filter_focus_map(focus_map: jnp.ndarray, radius: tuple[int, int]) -> jnp.nda
         - ii[2 * ry : 2 * ry + h, 0:w]
         + ii[0:h, 0:w]
     )
-    avg = s.astype(jnp.float32) / jnp.float32(4 * rx * ry)
+    avg = div_exact(s.astype(jnp.float32), jnp.float32(4 * rx * ry))
     return round_half_away(avg).astype(jnp.uint8)
 
 
@@ -306,5 +313,5 @@ def filter_focus_map_block(
         - ii[2 * ry : 2 * ry + row_count, 0:w]
         + ii[0:row_count, 0:w]
     )
-    avg = s.astype(jnp.float32) / jnp.float32(4 * rx * ry)
+    avg = div_exact(s.astype(jnp.float32), jnp.float32(4 * rx * ry))
     return round_half_away(avg).astype(jnp.uint8)

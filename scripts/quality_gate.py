@@ -102,7 +102,26 @@ def main() -> int:
         got = np.asarray(blend_xla.from_planar(views))
         results[f"allfocus/{method}"] = metrics.psnr(got, want)
 
-    ok = all(v >= args.threshold_db for v in results.values())
+    # --fast-focus (tap-rule truncation): a documented approximation, so it
+    # is reported against the same exact-oracle renders to quantify the
+    # deviation rather than gate on bit-exactness.
+    for method, want in (("STD", want_std), ("TEN", want_ten)):
+        views, _ = pipeline.render_all_focus(
+            planar, weights, offj,
+            jnp.float32(focus), jnp.float32(frange), jnp.asarray(ids),
+            method=method, radius=radius, filter_radius=frad, steps=32,
+            pad=pad, exact_taps=False,
+        )
+        got = np.asarray(blend_xla.from_planar(views))
+        results[f"allfocus-fast/{method}"] = metrics.psnr(got, want)
+
+    # allfocus-fast/* quantify the documented --fast-focus approximation
+    # against the EXACT oracle; they are informational, not gated.
+    ok = all(
+        v >= args.threshold_db
+        for k, v in results.items()
+        if not k.startswith("allfocus-fast/")
+    )
     print(json.dumps({
         "psnr_db": {k: (round(v, 2) if np.isfinite(v) else "inf")
                     for k, v in results.items()},

@@ -281,3 +281,55 @@ def test_allfocus_quantized_near_integer_shift(rng):
         )
         diff = np.abs(got.astype(int) - want.astype(int))
         assert diff.max() <= 1, f"pad={pad}: max {diff.max()}"
+
+
+def test_render_allfocus_all_bytes_matches_gather(rng):
+    """The 256-byte-level scan (the STD filtered-map fast path) is exact vs
+    the per-pixel gather for ARBITRARY byte maps."""
+    from lfinterpolator_tpu.core import geometry
+
+    g, h, w, v = 9, 40, 64, 6
+    images = rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8)
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(np.array([0, 0, 2, 2], np.float32), 3, 3, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        3, 3, w, h, 1.0, np.array([1.0, 1.0], np.float32)
+    )
+    fmap = rng.integers(0, 256, size=(h, w), dtype=np.uint8)  # arbitrary bytes
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    args = (planar, jnp.asarray(wm), jnp.asarray(offsets), jnp.asarray(fmap),
+            jnp.float32(0.1), jnp.float32(0.5))
+    want = np.asarray(blend_xla.render_allfocus(*args))
+    got = np.asarray(blend_xla.render_allfocus_quantized(
+        *args, steps=32, pad=(64, 64), all_bytes=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blend_fast_matches_blend(rng, monkeypatch):
+    """blend_fast (flat Pallas route, interpret mode) == XLA blend, including
+    non-lane-aligned widths that need the pad+trim path."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    g, v = 5, 4
+    for h, w in [(16, 128), (13, 50)]:
+        shifted = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+        weights = jnp.asarray(rng.random((v, g), dtype=np.float32))
+        a = np.asarray(blend_xla.blend(shifted, weights))
+        b = np.asarray(blend_xla.blend_fast(shifted, weights))
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1, (h, w, diff.max())
+
+
+def test_div_exact_matches_ieee(rng):
+    """div_exact == IEEE f32 division bit-for-bit (on CPU `/` is already
+    IEEE; on TPU the reciprocal-multiply lowering misrounds ~34% of
+    quotients, which div_exact corrects -- verified on-chip separately)."""
+    a = ((rng.random(50000) - 0.3) * np.exp2(rng.integers(-8, 12, 50000))).astype(np.float32)
+    b = ((rng.random(50000) + 1e-3) * np.exp2(rng.integers(-4, 10, 50000))).astype(np.float32)
+    got = np.asarray(blend_xla.div_exact(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got.view(np.uint32), (a / b).view(np.uint32))
+    bytes_ = np.arange(256, dtype=np.float32)
+    got2 = np.asarray(blend_xla.div_exact(jnp.asarray(bytes_), jnp.float32(255)))
+    np.testing.assert_array_equal(
+        got2.view(np.uint32), (bytes_ / np.float32(255)).view(np.uint32)
+    )
