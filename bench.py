@@ -272,31 +272,32 @@ def bench_c5():
     )
     fo = jnp.asarray(geometry.focused_offsets(offsets, 0.25))
     px, py = blend_pallas.shift_bound(offsets, 0.25, h, w)
-    pad_fn = jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))
     base = jax.block_until_ready(
         jax.random.randint(
             jax.random.key(0), (g, 3, h, w), 0, 255, jnp.int32
         ).astype(jnp.uint8)
     )
 
-    @jax.jit
-    def vary(x, s):
-        # One cheap pass producing distinct per-frame content (stands in for
-        # the video decode; defeats remote execution memoization).
-        return x + s
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("px", "py"))
+    def vary_pad(x, s, *, px, py):
+        # One fused pass: distinct per-frame content (stands in for the
+        # video decode; defeats remote execution memoization) folded into
+        # the clamp-pad copy.
+        return blend_pallas.pad_images(x + s, px, py)
 
     use_pallas = blend_pallas.is_available()
     render_xla = jax.jit(blend_xla.render_fixed)
     weights = jnp.asarray(wm)
 
     def step(i):
-        frame = vary(base, jnp.uint8(i))
         if use_pallas:
-            padded = pad_fn(frame, px, py)
+            padded = vary_pad(base, jnp.uint8(i), px=px, py=py)
             return blend_pallas.render_fixed_padded(
                 padded, weights, fo, h=h, w=w, px=px, py=py
             )
-        return render_xla(frame, weights, fo)
+        return render_xla(base + jnp.uint8(i), weights, fo)
 
     runs = max(4, RUNS // 8)
     per = _throughput(step, runs)
