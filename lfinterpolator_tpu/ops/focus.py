@@ -186,11 +186,21 @@ def estimate_focus_map(
                 lambda img, sy, sx: shift_clamped(img, sy, sx, pad_y=ry, pad_x=rx)
             )(selected, dyi, dxi)
 
+    def minmax_views(shifted):
+        """min AND max over the view axis in ONE pass over the data (two
+        separate reduces would each re-read -- or re-compute -- the shifted
+        stack; measured 1.66x on the fast path)."""
+        return lax.reduce(
+            (shifted, shifted),
+            (jnp.uint8(255), jnp.uint8(0)),
+            lambda a, b: (jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])),
+            [0],
+        )
+
     def cost_fast(fxi, fyi):
         """Hoisted min/max: taps are slices of one per-candidate cheby map."""
         shifted = shift_views(fyi, fxi)  # [K, C, h_out+2ry, W+2rx] uint8
-        mn = jnp.min(shifted, axis=0)
-        mx = jnp.max(shifted, axis=0)
+        mn, mx = minmax_views(shifted)
         # Costs fit i16 (<= 9 cells * 255): halves accumulator traffic.
         cheby = jnp.max(
             mx.astype(jnp.int16) - mn.astype(jnp.int16), axis=0
@@ -231,9 +241,8 @@ def estimate_focus_map(
                     rows[:, :, :, ox : ox + w],
                     rows[:, :, :, ox + 1 : ox + 1 + w],
                 )  # [K, C, h_out, w]
-                rng = jnp.max(tap, axis=0).astype(jnp.int16) - jnp.min(
-                    tap, axis=0
-                ).astype(jnp.int16)
+                mn, mx = minmax_views(tap)
+                rng = mx.astype(jnp.int16) - mn.astype(jnp.int16)
                 # Costs fit i16 (<= 9 * 255): halves accumulator traffic.
                 cost = cost + jnp.max(rng, axis=0)
         return cost
