@@ -12,7 +12,7 @@ repetitions, reference: src/interpolator.cu:271-295).
 
 Other BASELINE configs: `python bench.py --config NAME` or env
 LFI_BENCH_CONFIG with one of: headline, c1_2x2_512, c2_4x4_1024,
-c3_allfocus_1080, c4_quilt_1080, c5_video_4k, all.
+c3_allfocus_1080, c4_quilt_1080, c5_video_4k, c6_serving_batch, all.
 
 Timing method: N dispatches in flight with distinct shift tables per run and
 one tiny-fetch sync at the end (the production serving pattern). Repeated
@@ -308,6 +308,36 @@ def bench_c5():
     )
 
 
+def bench_c6():
+    # Serving config: 8 trajectories (sharing a center, the
+    # interpolate_batch pattern) fused into ONE [512, G] blend. The blend is
+    # bandwidth-bound on the image stack, so extra trajectories ride almost
+    # free -- and M=512 fills the MXU where a single trajectory's M=64 is
+    # one quarter-tile.
+    cols = rows = 8
+    h, w, v, n_traj = 1080, 1920, 64, 8
+    _, _, offsets, planar = _setup(cols, rows, h, w, v)
+    wms = [
+        geometry.quantize_weights_f16(
+            geometry.weight_matrix(
+                np.array([0.1 * t, 0.1 * t, 7.0 - 0.1 * t, 7.0 - 0.1 * t],
+                         np.float32),
+                cols, rows, 3.0, v,
+            )
+        ).astype(np.float32)
+        for t in range(n_traj)
+    ]
+    big = np.concatenate(wms, axis=0)  # [512, G], shared center
+    step, _ = _fixed_step(planar, big, offsets, h, w)
+    per = _throughput(step, max(8, RUNS // 2))
+    gps = n_traj * v * h * w / per / 1e9
+    _emit(
+        f"8x8-grid 1080p serving: 8 trajectories x 64 views fused "
+        f"({per*1000:.2f} ms, {n_traj/per:.0f} traj/s)",
+        gps, "GP/s", gps / BASELINE_GPS,
+    )
+
+
 CONFIGS = {
     "headline": bench_headline,
     "c1_2x2_512": bench_c1,
@@ -315,6 +345,7 @@ CONFIGS = {
     "c3_allfocus_1080": bench_c3,
     "c4_quilt_1080": bench_c4,
     "c5_video_4k": bench_c5,
+    "c6_serving_batch": bench_c6,
 }
 
 

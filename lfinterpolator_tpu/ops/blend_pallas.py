@@ -103,12 +103,19 @@ def pad_images(images: jnp.ndarray, px: int, py: int) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=3)
 
 
-def _auto_chunk(l: int, target: int = 16384) -> int:
-    """Largest 128-multiple divisor of `l` not exceeding `target` lanes.
+def _auto_chunk(l: int, g: int = 64, v: int = 64) -> int:
+    """Largest 128-multiple divisor of `l` fitting the VMEM budget.
 
-    Big chunks amortize the per-step pipeline overhead; beyond ~16K lanes
-    the f32 accumulator tile no longer fits VMEM comfortably.
+    Big chunks amortize the per-step pipeline overhead; the working set per
+    lane is roughly 2g (double-buffered u8 in) + 8g (i32/f32 widened A)
+    + 2v (double-buffered u8 out) + 4v (f32 accumulator) bytes, against a
+    ~12 MB scoped-VMEM budget (16 MB minus headroom).
     """
+    # Calibrated against Mosaic's scoped-vmem accounting: the v=512 OOM
+    # reported 16.88 MB at chunk 15360 ~= 2*(g+v)*chunk + ~0.25 KB/lane of
+    # accumulator tiles (Mosaic N-tiles the dot internally).
+    per_lane = 2 * (g + v) + 256
+    target = max(512, min(16384, (14 * 1024 * 1024) // per_lane // 128 * 128))
     for size in range(min(target, l) // 128 * 128, 127, -128):
         if l % size == 0:
             return size
@@ -171,7 +178,7 @@ def blend_flat(
     """Flat multi-view blend -> [V, L] uint8 (the MXU hot loop)."""
     g, l = flat.shape
     v = weights.shape[0]
-    chunk = _auto_chunk(l)
+    chunk = _auto_chunk(l, g, v)
     return pl.pallas_call(
         _blend_kernel,
         grid=(l // chunk,),

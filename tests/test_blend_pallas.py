@@ -144,8 +144,11 @@ def test_row_block_matches_full_render(rng):
 
 def test_auto_chunk_invariants():
     for l in [128, 1024, 3 * 1080 * 1920, 3 * 48 * 128, 6220800]:
-        c = blend_pallas._auto_chunk(l)
-        assert l % c == 0 and c % 128 == 0 and c <= 16384
+        for g, v in [(64, 64), (64, 512), (256, 64), (4, 4)]:
+            c = blend_pallas._auto_chunk(l, g, v)
+            assert l % c == 0 and c % 128 == 0 and c <= 16384
+            # VMEM working set stays within the scoped budget
+            assert c * (2 * (g + v) + 256) <= 14 * 1024 * 1024 or c == 128 or l < 128
     assert blend_pallas._auto_chunk(3 * 8 * 1920) == 15360
 
 
