@@ -97,9 +97,9 @@ class StreamingRenderer:
             self._bound = blend_pallas.shift_bound(
                 offsets, self.cfg.focus, height, width
             )
-            self._pad = jax.jit(
-                blend_pallas.pad_images, static_argnums=(1, 2), donate_argnums=(0,)
-            )
+            # (no donation: the padded output is larger than the input, so
+            # the buffers can never alias -- donating only produces warnings)
+            self._pad = jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))
 
     def _render(self, images_planar: jnp.ndarray) -> jnp.ndarray:
         if self._use_pallas:
