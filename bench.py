@@ -288,7 +288,11 @@ def bench_c5():
         return blend_pallas.pad_images(x + s, px, py)
 
     use_pallas = blend_pallas.is_available()
-    render_xla = jax.jit(blend_xla.render_fixed)
+
+    @jax.jit
+    def render_xla_varied(x, s, weights, fo):
+        return blend_xla.render_fixed(x + s, weights, fo)
+
     weights = jnp.asarray(wm)
 
     def step(i):
@@ -297,7 +301,7 @@ def bench_c5():
             return blend_pallas.render_fixed_padded(
                 padded, weights, fo, h=h, w=w, px=px, py=py
             )
-        return render_xla(base + jnp.uint8(i), weights, fo)
+        return render_xla_varied(base, jnp.uint8(i), weights, fo)
 
     runs = max(4, RUNS // 8)
     per = _throughput(step, runs)
@@ -329,7 +333,9 @@ def bench_c6():
     ]
     big = np.concatenate(wms, axis=0)  # [512, G], shared center
     step, _ = _fixed_step(planar, big, offsets, h, w)
-    per = _throughput(step, max(8, RUNS // 2))
+    # runs may not exceed RUNS: _fixed_step's shift-table list has only
+    # RUNS + WARMUP + 1 entries.
+    per = _throughput(step, min(RUNS, max(4, RUNS // 2)))
     gps = n_traj * v * h * w / per / 1e9
     _emit(
         f"8x8-grid 1080p serving: 8 trajectories x 64 views fused "

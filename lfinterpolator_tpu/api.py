@@ -141,9 +141,11 @@ class Interpolator:
             self.images = jax.device_put(planar)
         # Keyed by the (bucketed) shift bound: different focus settings that
         # land in the same bucket share one padded stack and one compiled
-        # program; a single-slot cache would re-pad (a large device copy)
-        # when alternating settings.
+        # program. LRU-capped: each entry is a full padded device stack
+        # (up to GBs), so an unbounded dict would leak HBM across a focus
+        # sweep, while a single slot would re-pad when alternating settings.
         self._padded_cache: dict[tuple[int, int], jnp.ndarray] = {}
+        self._padded_cache_max = 2
 
     # -- device data ------------------------------------------------------
 
@@ -154,7 +156,14 @@ class Interpolator:
             padded = jax.jit(
                 blend_pallas.pad_images, static_argnums=(1, 2)
             )(self.images, px, py)
+            while len(self._padded_cache) >= self._padded_cache_max:
+                # Drop the oldest entry; the buffer frees on GC (an explicit
+                # delete() could invalidate aliases, e.g. a mesh replicate
+                # that no-op'd into the same committed buffer).
+                self._padded_cache.pop(next(iter(self._padded_cache)))
             self._padded_cache[key] = jax.block_until_ready(padded)
+        else:  # refresh LRU order (dicts preserve insertion order)
+            self._padded_cache[key] = self._padded_cache.pop(key)
         return self._padded_cache[key]
 
     # -- rendering --------------------------------------------------------

@@ -81,20 +81,28 @@ def ssim(a: np.ndarray, b: np.ndarray, max_value: float = 255.0) -> float:
 
 
 _VMAF_RE = re.compile(r"VMAF score[:=]?\s*([0-9.]+)")
+_vmaf_probe_cache: dict[str, bool] = {}
 
 
 def vmaf_available(ffmpeg: str = "ffmpeg") -> bool:
-    """True when an ffmpeg with the libvmaf filter is on PATH."""
-    if shutil.which(ffmpeg) is None:
-        return False
-    try:
-        out = subprocess.run(
-            [ffmpeg, "-hide_banner", "-filters"],
-            capture_output=True, text=True, timeout=30,
-        )
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-    return "libvmaf" in out.stdout
+    """True when an ffmpeg with the libvmaf filter is on PATH.
+
+    Memoized per binary: the probe spawns an `ffmpeg -filters` subprocess,
+    and vmaf() would otherwise re-probe for every image pair."""
+    if ffmpeg in _vmaf_probe_cache:
+        return _vmaf_probe_cache[ffmpeg]
+    ok = False
+    if shutil.which(ffmpeg) is not None:
+        try:
+            out = subprocess.run(
+                [ffmpeg, "-hide_banner", "-filters"],
+                capture_output=True, text=True, timeout=30,
+            )
+            ok = "libvmaf" in out.stdout
+        except (OSError, subprocess.TimeoutExpired):
+            ok = False
+    _vmaf_probe_cache[ffmpeg] = ok
+    return ok
 
 
 def vmaf(path_a: str, path_b: str, ffmpeg: str = "ffmpeg") -> float | None:

@@ -39,6 +39,9 @@ def test_vmaf_skips_gracefully_without_ffmpeg(monkeypatch, tmp_path, rng):
     from lfinterpolator_tpu.utils import metrics
 
     monkeypatch.setattr("shutil.which", lambda _: None)
+    monkeypatch.setattr(
+        "lfinterpolator_tpu.utils.metrics._vmaf_probe_cache", {}
+    )
     pa = _write(tmp_path, "a.png", rng.integers(0, 256, (16, 16, 4), dtype=np.uint8))
     assert not metrics.vmaf_available()
     assert metrics.vmaf(pa, pa) is None
@@ -58,6 +61,9 @@ def test_vmaf_parses_ffmpeg_output(monkeypatch, tmp_path, rng):
         '*) echo "[libvmaf] VMAF score: 93.421" 1>&2;; esac\n'
     )
     fake.chmod(0o755)
+    monkeypatch.setattr(
+        "lfinterpolator_tpu.utils.metrics._vmaf_probe_cache", {}
+    )
     pa = _write(tmp_path, "a.png", rng.integers(0, 256, (8, 8, 4), dtype=np.uint8))
     assert metrics.vmaf_available(str(fake))
     assert metrics.vmaf(pa, pa, ffmpeg=str(fake)) == pytest.approx(93.421)
