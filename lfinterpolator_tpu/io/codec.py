@@ -137,4 +137,8 @@ def _encode_pil(path: str, image: np.ndarray) -> None:
     from PIL import Image
 
     mode = {1: "L", 3: "RGB", 4: "RGBA"}[image.shape[2]]
-    Image.fromarray(image.squeeze(-1) if mode == "L" else image, mode=mode).save(path)
+    # encode_png always produces PNG bytes; the extension may be a staging
+    # name (.tmp for atomic write-then-rename), so never let Pillow infer.
+    Image.fromarray(
+        image.squeeze(-1) if mode == "L" else image, mode=mode
+    ).save(path, format="PNG")

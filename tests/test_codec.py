@@ -13,6 +13,15 @@ def test_pil_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(codec._decode_pil(p), img)
 
 
+def test_pil_encode_ignores_extension(tmp_path, rng):
+    # Atomic writes stage through NAME.tmp; the Pillow fallback must force
+    # PNG instead of inferring the format from the staging extension.
+    img = rng.integers(0, 256, (8, 16, 4), dtype=np.uint8)
+    p = str(tmp_path / "frame.png.tmp")
+    codec._encode_pil(p, img)
+    np.testing.assert_array_equal(codec._decode_pil(p), img)
+
+
 def test_decode_missing_file():
     with pytest.raises(RuntimeError, match="Cannot load image"):
         codec._decode_pil("/nonexistent.png")
