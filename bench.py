@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from lfinterpolator_tpu.core import geometry
-from lfinterpolator_tpu.ops import blend_pallas, blend_xla, focus as focus_ops, quilt
+from lfinterpolator_tpu.ops import (
+    blend_pallas, blend_xla, focus as focus_ops, quilt, shift_pallas,
+)
 from lfinterpolator_tpu.models import pipeline
 
 BASELINE_GPS = 2.0  # GP/s per chip (BASELINE.md target)
@@ -258,8 +260,11 @@ def bench_c4():
 
 
 def bench_c5():
-    # streaming 4K: fixed geometry, new frame content each step (the frame
-    # swap stands in for the video decode; content is generated on-device).
+    # streaming 4K: fixed geometry, one full shift+blend of the raw stack
+    # per frame through the fused clamp-shift kernel (no pad pass -- the
+    # round-2 design's per-frame pad of a 1.6x-inflated stack is gone).
+    # Distinct per-frame shift tables defeat remote-execution memoization
+    # while exercising the same per-frame work as new content would.
     cols = rows = 8
     g = cols * rows
     h, w, v = 2160, 3840, 64
@@ -270,45 +275,40 @@ def bench_c5():
     offsets = geometry.compute_offsets(
         cols, rows, w, h, 1.0, geometry.trajectory_center(start_end)
     )
-    fo = jnp.asarray(geometry.focused_offsets(offsets, 0.25))
-    px, py = blend_pallas.shift_bound(offsets, 0.25, h, w)
+    runs = max(4, RUNS // 8)
+    foci = [0.25 + 0.002 * i for i in range(runs + WARMUP + 1)]
+    fos = [jnp.asarray(geometry.focused_offsets(offsets, f)) for f in foci]
+    px, py = blend_pallas.shift_bound(offsets, (min(foci), max(foci)), h, w)
     base = jax.block_until_ready(
         jax.random.randint(
             jax.random.key(0), (g, 3, h, w), 0, 255, jnp.int32
         ).astype(jnp.uint8)
     )
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("px", "py"))
-    def vary_pad(x, s, *, px, py):
-        # One fused pass: distinct per-frame content (stands in for the
-        # video decode; defeats remote execution memoization) folded into
-        # the clamp-pad copy.
-        return blend_pallas.pad_images(x + s, px, py)
-
-    use_pallas = blend_pallas.is_available()
-
-    @jax.jit
-    def render_xla_varied(x, s, weights, fo):
-        return blend_xla.render_fixed(x + s, weights, fo)
-
+    use_pallas = blend_pallas.is_available() and shift_pallas.supports(h, w)
     weights = jnp.asarray(wm)
 
-    def step(i):
-        if use_pallas:
-            padded = vary_pad(base, jnp.uint8(i), px=px, py=py)
-            return blend_pallas.render_fixed_padded(
-                padded, weights, fo, h=h, w=w, px=px, py=py
-            )
-        return render_xla_varied(base, jnp.uint8(i), weights, fo)
+    @jax.jit
+    def render_xla_varied(x, weights, fo):
+        return blend_xla.render_fixed(x, weights, fo)
 
-    runs = max(4, RUNS // 8)
+    if use_pallas:
+        tiled = jax.block_until_ready(shift_pallas.pad_to_tiles(base))
+
+        def step(i):
+            return shift_pallas.render_fixed_tiled(
+                tiled, weights, fos[i], h=h, w=w, px=px, py=py
+            )
+    else:
+
+        def step(i):
+            return render_xla_varied(base, weights, fos[i])
+
     per = _throughput(step, runs)
     _emit(
         f"8x8-grid 4K video streaming blend ({per*1000:.0f} ms/frame, "
-        f"{v} views, includes per-frame pad)", 1.0 / per, "frames/s",
-        (v * h * w / per / 1e9) / BASELINE_GPS,
+        f"{v} views, fused shift+blend from the raw stack)", 1.0 / per,
+        "frames/s", (v * h * w / per / 1e9) / BASELINE_GPS,
     )
 
 

@@ -1,0 +1,300 @@
+"""Fused clamp-shift Pallas kernel: raw tiled stack -> shifted flat stack.
+
+Replaces the two-stage pad_images + preshift_flat data movement (one padded
+HBM copy per light field + one unaligned dynamic_slice per render, see
+blend_pallas.py) with a single kernel that reads the raw stack once and
+writes the blend-ready flat layout once:
+
+    out[g, c, y, x] = raw[g, c, clip(y + dy_g, 0, h-1), clip(x + dx_g, 0, w-1)]
+
+for y in [0, H8), x in [0, W128) -- the same edge-clamped-window semantics as
+the reference's cudaBoundaryModeClamp surface reads (reference:
+src/kernels.cu:119-126) and bit-identical to blend_pallas.preshift_flat.
+
+Why this shape (all constraints measured on v5e, see CLAUDE.md):
+  - DMA slice offsets must be tile-aligned (sublanes %8, lanes %128), so the
+    per-image row offset is split into an 8-aligned DMA start plus a sub-8
+    residual fixed in VMEM;
+  - Mosaic has no dynamic roll / offset-broadcast for 8-bit vectors, so the
+    residual row roll, the lane roll (dx), and the border selects run on an
+    i32 widening of the block; lane-border selects are confined to static
+    edge strips so the middle of every row is a single rolled store.
+  - One auto-pipelined output block plus one manually double-buffered input
+    DMA per grid step keeps the kernel at the chip's copy ceiling instead of
+    the per-window-DMA issue latency floor.
+
+The raw stack lives in a tiled layout [G, C, H8, W128] (rows padded to 8,
+lanes to 128; pad content irrelevant) built once at upload by pad_to_tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blend_pallas import _align, _interpret
+
+
+def pad_to_tiles(images: jnp.ndarray) -> jnp.ndarray:
+    """[G, C, H, W] uint8 -> [G, C, H8, W128] with zero tile padding.
+
+    Pad content is never read by shift_flat_tiled (the clamp masks cover it),
+    so plain zero padding suffices -- unlike pad_images, no edge replication
+    and no shift-bound inflation: the tiled stack is at most (1+7/H)(1+127/W)
+    times the raw bytes.
+    """
+    g, c, h, w = images.shape
+    h8, w128 = _align(h, 8), _align(w, 128)
+    if (h8, w128) == (h, w):
+        return images
+    return jnp.pad(images, ((0, 0), (0, 0), (0, h8 - h), (0, w128 - w)))
+
+
+def _pick_tb(h8: int, w128: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Largest 8-multiple divisor of h8 whose i32 working set fits VMEM.
+
+    The compute path holds ~3 live i32 [TB, W128] temporaries plus the 2
+    u8 input slots and 2 u8 output blocks; cap TB so 3*4*TB*W128 stays
+    within the budget."""
+    cap = max(8, budget_bytes // (12 * w128) // 8 * 8)
+    best = 8
+    for tb in range(8, min(h8 - 8, cap) + 1, 8):
+        if h8 % tb == 0:
+            best = tb
+    return best
+
+
+def _shift_kernel(
+    dyx_ref,  # SMEM [G, 2] int32 (dx, dy), pre-clipped to (+-px, +-py)
+    raw_ref,  # HBM [G, C, H8, W128] uint8
+    out_ref,  # VMEM block [1, 1, TB, W128] uint8
+    scratch,  # VMEM [2, TB+8, W128] uint8
+    sems,  # DMA semaphores [2]
+    *,
+    h: int,
+    w: int,
+    tb: int,
+    sl: int,  # left strip width (static, 128-multiple)
+    sr: int,  # right strip width (static, 128-multiple)
+):
+    grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
+    h8 = grid[2] * tb
+    w128 = out_ref.shape[3]
+    n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
+    total = grid[0] * grid[1] * grid[2]
+
+    def copy_for(step):
+        rb = step % grid[2]
+        c = (step // grid[2]) % grid[1]
+        g = step // (grid[1] * grid[2])
+        dy = dyx_ref[g, 1]
+        s0 = jnp.clip(rb * tb + dy, 0, h - tb)
+        s0a = (jnp.minimum(s0, h8 - tb - 8) // 8) * 8
+        return pltpu.make_async_copy(
+            raw_ref.at[g, c, pl.ds(s0a, tb + 8), :],
+            scratch.at[step % 2],
+            sems.at[step % 2],
+        )
+
+    @pl.when(n == 0)
+    def _():
+        copy_for(0).start()
+
+    @pl.when(n + 1 < total)
+    def _():
+        copy_for(n + 1).start()
+
+    copy_for(n).wait()
+
+    g = pl.program_id(0)
+    rb = pl.program_id(2)
+    r0 = rb * tb
+    dx = dyx_ref[g, 0]
+    dy = dyx_ref[g, 1]
+    s0 = jnp.clip(r0 + dy, 0, h - tb)
+    s0a = (jnp.minimum(s0, h8 - tb - 8) // 8) * 8
+    # want zone[y] = block[y + delta] for the rows that are in range;
+    # delta folds both the clamp offset and the 8-alignment residual
+    delta = r0 + dy - s0a
+
+    v0 = jnp.clip(-(r0 + dy), 0, tb)  # rows < v0 -> top border
+    v1 = jnp.clip(h - 1 - r0 - dy, -1, tb - 1)  # rows > v1 -> bottom border
+    x0 = -dx  # lanes < x0 -> left border
+    x1 = w - 1 - dx  # lanes > x1 -> right border
+
+    a = scratch[n % 2, :, :].astype(jnp.int32)  # [tb+8, w128]
+    zone = pltpu.roll(
+        a, (tb + 8 - delta % (tb + 8)) % (tb + 8), 0
+    )[0:tb, :]
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
+    lane_shift = (w128 - (dx % w128)) % w128
+
+    def right_border(rf):
+        # rf[:, w-1] broadcast: offset-broadcasts relayout slowly, so roll a
+        # static 128-lane chunk by 1 to bring column w-1 to lane offset 0.
+        chunk = pltpu.roll(rf[:, w - 128 : w], 1, 1)
+        return chunk[:, 0:1]
+
+    def store(rf):
+        # rf: row-fixed [tb, w128] i32; roll lanes by -dx, fix lane borders
+        # on the static strips, store u8.
+        rolled = pltpu.roll(rf, lane_shift, 1)
+        if sl >= w128:  # degenerate small images: one double-masked store
+            xs = jax.lax.broadcasted_iota(jnp.int32, (tb, w128), 1)
+            out_ref[0, 0, :, :] = jnp.where(
+                xs < x0,
+                rf[:, 0:1],
+                jnp.where(xs > x1, jnp.broadcast_to(rf[:, w - 1 : w],
+                                                    (tb, w128)), rolled),
+            ).astype(jnp.uint8)
+            return
+
+        @pl.when(x0 > 0)
+        def _():
+            xs = jax.lax.broadcasted_iota(jnp.int32, (tb, sl), 1)
+            out_ref[0, 0, :, 0:sl] = jnp.where(
+                xs < x0, rf[:, 0:1], rolled[:, 0:sl]
+            ).astype(jnp.uint8)
+
+        @pl.when(x0 <= 0)
+        def _():
+            out_ref[0, 0, :, 0:sl] = rolled[:, 0:sl].astype(jnp.uint8)
+
+        if w128 - sl - sr > 0:
+            out_ref[0, 0, :, sl : w128 - sr] = rolled[
+                :, sl : w128 - sr
+            ].astype(jnp.uint8)
+
+        xs_r = jax.lax.broadcasted_iota(jnp.int32, (tb, sr), 1) + (w128 - sr)
+
+        @pl.when(x1 < w128 - 1)
+        def _():
+            out_ref[0, 0, :, w128 - sr : w128] = jnp.where(
+                xs_r > x1, right_border(rf), rolled[:, w128 - sr : w128]
+            ).astype(jnp.uint8)
+
+        @pl.when(x1 >= w128 - 1)
+        def _():
+            out_ref[0, 0, :, w128 - sr : w128] = rolled[
+                :, w128 - sr : w128
+            ].astype(jnp.uint8)
+
+    # border rows sit at STATIC block positions: a top-clamped band has
+    # s0a == 0 so src row 0 is block row 0; a bottom-clamped band has
+    # s0a == h8-tb-8 so src row h-1 is block row tb+7-(h8-h). A band never
+    # straddles both edges (tb < h).
+    @pl.when(v0 > 0)
+    def _():
+        store(jnp.where(ys < v0, a[0:1, :], zone))
+
+    @pl.when(v1 < tb - 1)
+    def _():
+        bi = tb + 7 - (h8 - h)
+        store(jnp.where(ys > v1, a[bi : bi + 1, :], zone))
+
+    @pl.when((v0 <= 0) & (v1 >= tb - 1))
+    def _():
+        store(zone)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
+def shift_flat_tiled(
+    tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (from pad_to_tiles)
+    focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy), traced
+    *,
+    h: int,
+    w: int,
+    px: int,
+    py: int,
+) -> jnp.ndarray:
+    """Clamp-shift every image -> flat [G, C*H8*W128] uint8.
+
+    Bit-identical to blend_pallas.preshift_flat(pad_images(raw), ...): shifts
+    are clipped to (+-px, +-py), which preserves semantics because the caller
+    derives the bounds from the actual focus range (shift_bound) and any
+    shift >= the image size saturates the clamp anyway.
+    """
+    g, c, h8, w128 = tiled.shape
+    tb = _pick_tb(h8, w128)
+    # static strips covering every lane that can need border values
+    sl = min(_align(min(px, w - 1), 128), w128)
+    sr = min(_align(min(px, w - 1) + (w128 - w), 128), w128)
+    if sl + sr + 128 > w128:
+        sl = sr = w128  # degenerate small images: one full-width masked store
+    dyx = jnp.stack(
+        [
+            jnp.clip(focused_offsets[:, 0], -px, px),
+            jnp.clip(focused_offsets[:, 1], -py, py),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _shift_kernel, h=h, w=w, tb=tb, sl=sl, sr=sr
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, c, h8 // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tb, w128), lambda gg, cc, rr: (gg, cc, rr, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, c, h8, w128), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb + 8, w128), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=2 * g * c * h8 * w128, transcendentals=0
+        ),
+        interpret=_interpret(),
+    )(dyx, tiled)
+    return out.reshape(g, c * h8 * w128)
+
+
+def supports(h: int, w: int) -> bool:
+    """Whether the fused shift kernel handles this geometry (else callers
+    use the XLA pad+slice path)."""
+    h8, w128 = _align(h, 8), _align(w, 128)
+    if w128 > 8 * 3968:  # lane-roll temporaries would blow VMEM
+        return False
+    # degenerate full-width strips double-store; fine but require >= 2 bands
+    return h8 >= 16 and w128 >= 128 and h >= 16
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
+def render_fixed_tiled(
+    tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (from pad_to_tiles)
+    weights: jnp.ndarray,  # [V, G] float32
+    focused_offsets: jnp.ndarray,  # [G, 2] int32
+    *,
+    h: int,
+    w: int,
+    px: int,
+    py: int,
+) -> jnp.ndarray:
+    """Fixed-focus fused render from a tiled raw stack -> [V, C, H, W] u8.
+
+    Single-jit shift + MXU blend; same numerics as render_fixed_padded
+    (reference semantics: Standard/Tensors::process, src/kernels.cu:289-461).
+    """
+    from .blend_pallas import blend_flat
+
+    g, c, h8, w128 = tiled.shape
+    v = weights.shape[0]
+    flat = shift_flat_tiled(
+        tiled, focused_offsets, h=h, w=w, px=px, py=py
+    )
+    out = blend_flat(flat, weights).reshape(v, c, h8, w128)
+    if (h8, w128) != (h, w):
+        out = out[:, :, :h, :w]
+    return out

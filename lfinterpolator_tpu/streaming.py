@@ -31,7 +31,7 @@ import numpy as np
 from .core import geometry
 from .core.config import RenderConfig
 from .io import writer
-from .ops import blend_pallas, blend_xla
+from .ops import blend_pallas, blend_xla, shift_pallas
 from .models import pipeline
 
 
@@ -92,18 +92,29 @@ class StreamingRenderer:
             self.cfg.method in ("TEN", "TEN_WM") and blend_pallas.is_available()
         )
         if self._use_pallas:
-            # Shifts are fixed across the stream, so the clamp-pad bound is
-            # tight and the per-frame pad stays small (vs one tile per side).
             self._bound = blend_pallas.shift_bound(
                 offsets, self.cfg.focus, height, width
             )
-            # (no donation: the padded output is larger than the input, so
-            # the buffers can never alias -- donating only produces warnings)
-            self._pad = jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))
+            # One-shot frames don't amortize a padded-stack build, so prefer
+            # the fused clamp-shift kernel (reads the raw stack once, no pad
+            # pass at all); fall back to pad+slice for tiny geometries.
+            self._use_tiled = shift_pallas.supports(height, width)
+            if not self._use_tiled:
+                # (no donation: the padded output is larger than the input,
+                # so the buffers can never alias)
+                self._pad = jax.jit(
+                    blend_pallas.pad_images, static_argnums=(1, 2)
+                )
 
     def _render(self, images_planar: jnp.ndarray) -> jnp.ndarray:
         if self._use_pallas:
             px, py = self._bound
+            if self._use_tiled:
+                tiled = shift_pallas.pad_to_tiles(images_planar)
+                return shift_pallas.render_fixed_tiled(
+                    tiled, self.weights, self.focused,
+                    h=self.height, w=self.width, px=px, py=py,
+                )
             padded = self._pad(images_planar, px, py)
             return blend_pallas.render_fixed_padded(
                 padded, self.weights, self.focused,

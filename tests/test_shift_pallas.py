@@ -1,0 +1,91 @@
+"""Fused clamp-shift kernel (ops/shift_pallas) vs the pad+slice reference.
+
+Runs in Pallas interpret mode on CPU (see conftest). The ground truth is
+blend_pallas.preshift_flat over a shift-bound-padded stack, which is itself
+oracle-validated; shift_flat_tiled must be bit-identical.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lfinterpolator_tpu.ops import blend_pallas, shift_pallas
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+
+
+def _align(x, m):
+    return -(-x // m) * m
+
+
+CASES = [
+    # (G, C, H, W, px, py, shift_scale)
+    (4, 3, 96, 512, 128, 64, 1.0),
+    (3, 3, 100, 300, 128, 128, 1.0),  # odd W/H -> tile padding
+    (2, 1, 37, 130, 256, 256, 1.0),  # degenerate strips (sl+sr > w128)
+    (2, 3, 64, 256, 128, 128, 5.0),  # shifts beyond the clip bounds
+    (2, 3, 216, 640, 384, 384, 1.0),  # multi-band with large bounds
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"g{c[0]}c{c[1]}_{c[2]}x{c[3]}")
+def test_matches_preshift(case, rng):
+    g, c, h, w, px, py, scale = case
+    assert shift_pallas.supports(h, w)
+    raw = rng.integers(0, 256, (g, c, h, w), dtype=np.uint8)
+    fo = (rng.uniform(-1, 1, (g, 2)) * np.array([px, py]) * scale).astype(
+        np.int32
+    )
+    tiled = shift_pallas.pad_to_tiles(jnp.asarray(raw))
+    got = np.asarray(
+        shift_pallas.shift_flat_tiled(
+            tiled, jnp.asarray(fo), h=h, w=w, px=px, py=py
+        )
+    )
+    padded = blend_pallas.pad_images(jnp.asarray(raw), px, py)
+    want = np.asarray(
+        blend_pallas.preshift_flat(
+            padded, jnp.asarray(fo), px=px, py=py, h=h, w=w
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_render_fixed_tiled_matches_padded(rng):
+    g, c, h, w, px, py = 6, 3, 96, 384, 128, 128
+    v = 8
+    raw = rng.integers(0, 256, (g, c, h, w), dtype=np.uint8)
+    fo = (rng.uniform(-1, 1, (g, 2)) * np.array([px, py])).astype(np.int32)
+    wm = (rng.random((v, g)).astype(np.float32)) / g
+    tiled = shift_pallas.pad_to_tiles(jnp.asarray(raw))
+    got = np.asarray(
+        shift_pallas.render_fixed_tiled(
+            tiled, jnp.asarray(wm), jnp.asarray(fo), h=h, w=w, px=px, py=py
+        )
+    )
+    padded = blend_pallas.pad_images(jnp.asarray(raw), px, py)
+    want = np.asarray(
+        blend_pallas.render_fixed_padded(
+            padded, jnp.asarray(wm), jnp.asarray(fo), h=h, w=w, px=px, py=py
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pad_to_tiles_shapes(rng):
+    raw = rng.integers(0, 256, (2, 3, 37, 130), dtype=np.uint8)
+    tiled = np.asarray(shift_pallas.pad_to_tiles(jnp.asarray(raw)))
+    assert tiled.shape == (2, 3, _align(37, 8), _align(130, 128))
+    np.testing.assert_array_equal(tiled[:, :, :37, :130], raw)
+    # already aligned: no copy semantics change
+    raw2 = rng.integers(0, 256, (2, 3, 40, 256), dtype=np.uint8)
+    assert shift_pallas.pad_to_tiles(jnp.asarray(raw2)).shape == raw2.shape
+
+
+def test_supports_gates_degenerate():
+    assert not shift_pallas.supports(8, 128)  # too short for a band + slack
+    assert shift_pallas.supports(1080, 1920)
+    assert shift_pallas.supports(2160, 3840)

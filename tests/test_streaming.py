@@ -42,6 +42,33 @@ def test_stream_matches_per_frame_oracle(rng):
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_stream_ten_uses_fused_shift_kernel(rng, monkeypatch):
+    """The TEN streaming path routes through shift_pallas (fused clamp-shift
+    from the raw stack, no pad pass) and stays within 1 LSB of the oracle."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cols = rows = 2
+    h, w, v = 32, 256, 4
+    frames = _frames(rng, 2, cols * rows, h, w)
+    sr = StreamingRenderer(
+        cols, rows, w, h, "0.0,0.0,1.0,1.0",
+        config=RenderConfig(view_count=v, focus=0.4, method="TEN"),
+    )
+    assert sr._use_pallas and sr._use_tiled
+    outs = list(sr.render_stream(iter(frames)))
+
+    se = geometry.parse_trajectory("0.0,0.0,1.0,1.0", (cols, rows))
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    )
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    fo = geometry.focused_offsets(offsets, 0.4)
+    for frame, got in zip(frames, outs):
+        want = oracle.blend_fixed(frame, wm, fo)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
 def test_stream_empty():
     sr = StreamingRenderer(2, 2, 16, 16, "0,0,1,1", config=RenderConfig(view_count=2))
     assert list(sr.render_stream(iter([]))) == []
