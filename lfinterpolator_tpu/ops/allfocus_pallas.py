@@ -1,0 +1,326 @@
+"""Fused per-pixel-focus (allFocus) clamp-shift Pallas kernel.
+
+TPU-native equivalent of the reference tensor kernel's allFocus arm
+(Tensors::process<true>, reference: src/kernels.cu:398-461, per-pixel map
+read at :429-430): every output pixel samples each source image at
+
+    img[clip(int(y + f(y,x)*oy_g), 0, h-1), clip(int(x + f(y,x)*ox_g), 0, w-1)]
+
+where f(y,x) decodes the RAW focus map byte (loadFocusFromMap,
+src/kernels.cu:134-137) and int() is the C f32 truncation (focusCoords,
+src/kernels.cu:78-82).
+
+Because the raw map is level-quantized (the estimator emits exactly `steps`
+byte values), the per-pixel sample is a select over at most `steps`
+constant-shift variants of each image. The XLA path realizes that as one
+shifted-stack pass per present (level, row-band) -- re-reading the stack
+once per present level. This kernel reads each source window ONCE and runs
+the per-level work as in-VMEM rolls and selects:
+
+  per (image, channel, row-band) grid step:
+    1. one manually double-buffered DMA of a window covering every present
+       level's row span (static height `tbw` = band + spread bound),
+    2. for each level present in the band (SMEM presence table, runtime
+       skip): dynamic sublane roll to the level's base row shift, +-1 row
+       variants by static slices, the exact f32 truncation-correction
+       selects of blend_xla.trunc_offsets, border clamps, dynamic lane roll
+       + +-1 lane variants + truncation/border selects, then a map-mask
+       accumulate into an i32 scratch,
+    3. one u8 store of the selected band.
+
+The output is the blend-ready flat layout of blend_pallas.blend_flat, so the
+full TEN allFocus render is this kernel + the same MXU matmul as the
+fixed-focus path. Numerics are bit-identical to the XLA quantized-select
+path (and hence the oracle): the trunc corrections evaluate the oracle's own
+f32 expressions on iota coordinates, and all selects are integer-exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blend_pallas import _align, _interpret
+
+
+def spread_bound(
+    offsets, focus: float, focus_range: float, bucket: int = 64
+) -> int:
+    """Static row-span bound: max over images of the spread of floor(f*oy)
+    across the focus interval. Host-side (concrete offsets), bucketed so
+    nearby focus settings share one compiled program."""
+    import numpy as np  # host-side only
+
+    oy = np.abs(np.asarray(offsets)[:, 1]).max()
+    lo, hi = float(focus), float(focus) + float(focus_range)
+    spread = (abs(hi - lo)) * float(oy)
+    return max(bucket, -(-int(np.ceil(spread + 2)) // bucket) * bucket)
+
+
+def _pick_tb_af(h8: int, w128: int, spread: int,
+                budget_bytes: int = 9 * 1024 * 1024) -> int | None:
+    """Largest 8-multiple divisor of h8 whose working set fits VMEM.
+
+    Model: 2 u8 windows [tbw, w128] + widened i32 window + per-level i32
+    temporaries (~5 live [tb, w128]) + i32 accumulator + blocks."""
+    best = None
+    for tb in range(8, h8 - 8 + 1, 8):
+        if h8 % tb:
+            continue
+        tbw = _align(tb + spread + 10, 8)
+        if tbw + 8 > h8:
+            continue
+        need = w128 * (2 * tbw + 4 * tbw + 4 * tbw + 24 * tb + 3 * tb)
+        if need <= budget_bytes:
+            best = tb
+    return best
+
+
+def supports(h: int, w: int, spread: int) -> bool:
+    """Whether the fused allFocus kernel handles this geometry (else callers
+    use the XLA per-level scan path)."""
+    h8, w128 = _align(h, 8), _align(w, 128)
+    if w128 > 8 * 3968 or w < 128 or h < 16:
+        return False
+    return _pick_tb_af(h8, w128, spread) is not None
+
+
+def _af_kernel(
+    levels_ref,  # SMEM [L] int32 (byte values of the quantized levels)
+    fys_ref,  # SMEM [L, G] f32 (true fractional row shifts, f_l * oy_g)
+    fxs_ref,  # SMEM [L, G] f32
+    rowspan_ref,  # SMEM [G, 2] int32 (min, max) of floor(fy) over levels
+    pres_ref,  # SMEM [NB, L] int32 presence per (band, level)
+    map_ref,  # VMEM block [TB, W128] uint8 (raw focus map band)
+    raw_ref,  # HBM [G, C, H8, W128] uint8
+    out_ref,  # VMEM block [1, 1, TB, W128] uint8
+    acc,  # VMEM scratch [TB, W128] int32
+    scratch,  # VMEM scratch [2, TBW, W128] uint8
+    sems,  # DMA semaphores [2]
+    *,
+    h: int,
+    w: int,
+    tb: int,
+    tbw: int,
+    n_levels: int,
+):
+    grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
+    h8 = grid[2] * tb
+    w128 = out_ref.shape[3]
+    n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
+    total = grid[0] * grid[1] * grid[2]
+
+    def window_start(g, rb):
+        # Pin bottom-clamp-capable bands to the top-most window so the
+        # border row h-1 sits at a STATIC block position; elsewhere an
+        # 8-aligned start below the lowest needed row (coverage by the
+        # static spread bound in tbw).
+        r0 = rb * tb
+        bot_possible = r0 + tb + rowspan_ref[g, 1] > h - 2
+        s0 = jnp.clip(r0 + rowspan_ref[g, 0] - 1, 0, h8 - tbw) // 8 * 8
+        return jnp.where(bot_possible, h8 - tbw, s0)
+
+    def copy_for(step):
+        rb = step % grid[2]
+        c = (step // grid[2]) % grid[1]
+        g = step // (grid[1] * grid[2])
+        return pltpu.make_async_copy(
+            raw_ref.at[g, c, pl.ds(window_start(g, rb), tbw), :],
+            scratch.at[step % 2],
+            sems.at[step % 2],
+        )
+
+    @pl.when(n == 0)
+    def _():
+        copy_for(0).start()
+
+    @pl.when(n + 1 < total)
+    def _():
+        copy_for(n + 1).start()
+
+    copy_for(n).wait()
+
+    g = pl.program_id(0)
+    rb = pl.program_id(2)
+    r0 = rb * tb
+    s0a = window_start(g, rb)
+    minny = rowspan_ref[g, 0]
+
+    a = scratch[n % 2, :, :].astype(jnp.int32)  # [tbw, w128]
+    mapb = map_ref[:, :].astype(jnp.int32)  # [tb, w128]
+    acc[:, :] = jnp.zeros((tb, w128), jnp.int32)
+
+    qy = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0) + r0
+    qyf = qy.astype(jnp.float32)
+    qx = jax.lax.broadcasted_iota(jnp.int32, (1, w128), 1)
+    qxf = qx.astype(jnp.float32)
+    # static block positions of the border rows (see window_start)
+    bi = tbw - 1 - (h8 - h)
+    top_row = a[0:1, :]
+    bot_row = a[bi : bi + 1, :]
+
+    def level_body(l, _):
+        @pl.when(pres_ref[rb, l] == 1)
+        def _():
+            fy = fys_ref[l, g]
+            fx = fxs_ref[l, g]
+            n_y = jnp.clip(jnp.floor(fy), -(h + 2.0), h + 2.0).astype(jnp.int32)
+            n_y = jnp.maximum(n_y, minny)  # defensive: stay in the window
+            n_x = jnp.clip(jnp.floor(fx), -(w + 2.0), w + 2.0).astype(jnp.int32)
+
+            # exact truncation deltas (blend_xla.trunc_offsets semantics)
+            dyo = jnp.clip(
+                (jnp.trunc(qyf + fy) - (qyf + jnp.floor(fy))).astype(jnp.int32),
+                -1, 1,
+            )  # [tb, 1]
+            dxo = jnp.clip(
+                (jnp.trunc(qxf + fx) - (qxf + jnp.floor(fx))).astype(jnp.int32),
+                -1, 1,
+            )  # [1, w128]
+
+            rel = r0 + n_y - 1 - s0a
+            zb = pltpu.roll(a, (tbw - rel % tbw) % tbw, 0)  # zb[j] = row r0+n_y-1+j
+            zm, z0, zp = zb[0:tb, :], zb[1 : tb + 1, :], zb[2 : tb + 2, :]
+            rsel = jnp.where(dyo == 1, zp, jnp.where(dyo == -1, zm, z0))
+            rowidx = qy + n_y + dyo
+            rf = jnp.where(
+                rowidx < 0, top_row, jnp.where(rowidx > h - 1, bot_row, rsel)
+            )
+
+            rolled = pltpu.roll(rf, (w128 - n_x % w128) % w128, 1)
+            rm = pltpu.roll(rolled, 1, 1)  # rf[x + n_x - 1]
+            rp = pltpu.roll(rolled, w128 - 1, 1)  # rf[x + n_x + 1]
+            csel = jnp.where(dxo == 1, rp, jnp.where(dxo == -1, rm, rolled))
+            colidx = qx + n_x + dxo
+            left = rf[:, 0:1]
+            right = pltpu.roll(rf[:, w - 128 : w], 1, 1)[:, 0:1]
+            val = jnp.where(
+                colidx < 0, left, jnp.where(colidx > w - 1, right, csel)
+            )
+
+            acc[:, :] = jnp.where(mapb == levels_ref[l], val, acc[:, :])
+
+        return 0
+
+    lax.fori_loop(0, n_levels, level_body, 0)
+    out_ref[0, 0, :, :] = acc[:, :].astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "spread")
+)
+def allfocus_select_tiled(
+    tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (shift_pallas.pad_to_tiles)
+    focus_map8: jnp.ndarray,  # [H8, W128] uint8 (padded raw map)
+    levels: jnp.ndarray,  # [L] uint8 (quantized level byte values)
+    fys: jnp.ndarray,  # [L, G] f32 (f_level * offset_y)
+    fxs: jnp.ndarray,  # [L, G] f32
+    *,
+    h: int,
+    w: int,
+    spread: int,
+) -> jnp.ndarray:
+    """Per-pixel-level selected stack -> flat [G, C*H8*W128] uint8.
+
+    Bit-identical to the XLA quantized-select pass of
+    blend_xla.render_allfocus_quantized (for maps whose bytes are all in
+    `levels`); feed the result to blend_pallas.blend_flat.
+    """
+    g, c, h8, w128 = tiled.shape
+    n_levels = levels.shape[0]
+    tb = _pick_tb_af(h8, w128, spread)
+    if tb is None:
+        raise ValueError("geometry unsupported; check supports() first")
+    tbw = _align(tb + spread + 10, 8)
+    nb = h8 // tb
+
+    nys = jnp.clip(jnp.floor(fys), -(h + 2.0), h + 2.0).astype(jnp.int32)
+    minny = nys.min(axis=0)
+    maxny = jnp.minimum(nys.max(axis=0), minny + spread)
+    rowspan = jnp.stack([minny, maxny], axis=1)  # [G, 2]
+    presence = (
+        jnp.any(
+            focus_map8.reshape(nb, tb, w128)[:, :, :w, None]
+            == levels[None, None, None, :],
+            axis=(1, 2),
+        )
+    ).astype(jnp.int32)  # [NB, L]
+
+    kernel = functools.partial(
+        _af_kernel, h=h, w=w, tb=tb, tbw=tbw, n_levels=n_levels
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, c, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tb, w128), lambda gg, cc, rr: (rr, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tb, w128), lambda gg, cc, rr: (gg, cc, rr, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, c, h8, w128), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((tb, w128), jnp.int32),
+            pltpu.VMEM((2, tbw, w128), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n_levels * g * c * h8 * w128,
+            bytes_accessed=2 * g * c * h8 * w128,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        levels.astype(jnp.int32),
+        fys.astype(jnp.float32),
+        fxs.astype(jnp.float32),
+        rowspan,
+        presence,
+        focus_map8,
+        tiled,
+    )
+    return out.reshape(g, c * h8 * w128)
+
+
+def render_allfocus_tiled(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+    focus_map: jnp.ndarray,  # [H, W] uint8 (raw, level-quantized)
+    levels: jnp.ndarray,  # [L] uint8
+    fys: jnp.ndarray,  # [L, G] f32
+    fxs: jnp.ndarray,  # [L, G] f32
+    *,
+    spread: int,
+) -> jnp.ndarray:
+    """Full TEN allFocus render: fused select kernel + MXU blend.
+
+    -> [V, C, H, W] uint8; same numerics as the XLA quantized path."""
+    from .blend_pallas import blend_flat
+    from .shift_pallas import pad_to_tiles
+
+    g, c, h, w = images.shape
+    h8, w128 = _align(h, 8), _align(w, 128)
+    v = weights.shape[0]
+    map8 = jnp.pad(focus_map, ((0, h8 - h), (0, w128 - w)), mode="edge")
+    flat = allfocus_select_tiled(
+        pad_to_tiles(images), map8, levels, fys, fxs, h=h, w=w, spread=spread
+    )
+    out = blend_flat(flat, weights).reshape(v, c, h8, w128)
+    if (h8, w128) != (h, w):
+        out = out[:, :, :h, :w]
+    return out

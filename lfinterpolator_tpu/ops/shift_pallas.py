@@ -15,10 +15,12 @@ Why this shape (all constraints measured on v5e, see CLAUDE.md):
   - DMA slice offsets must be tile-aligned (sublanes %8, lanes %128), so the
     per-image row offset is split into an 8-aligned DMA start plus a sub-8
     residual fixed in VMEM;
-  - Mosaic has no dynamic roll / offset-broadcast for 8-bit vectors, so the
-    residual row roll, the lane roll (dx), and the border selects run on an
-    i32 widening of the block; lane-border selects are confined to static
-    edge strips so the middle of every row is a single rolled store.
+  - Mosaic has no dynamic roll / offset-broadcast for 8-bit vectors (nor
+    i16: dynamic_rotate legalizes for 32-bit only), so the residual row
+    roll, the lane roll (dx), and the border selects run on an i32 widening
+    of the block (measured free -- the kernel is store/select-bound, not
+    widen-bound); lane-border selects use one full-width masked store, or
+    static edge strips when those cover <1/4 of the row (the 4K case).
   - One auto-pipelined output block plus one manually double-buffered input
     DMA per grid step keeps the kernel at the chip's copy ceiling instead of
     the per-window-DMA issue latency floor.
@@ -78,8 +80,8 @@ def _shift_kernel(
     h: int,
     w: int,
     tb: int,
-    sl: int,  # left strip width (static, 128-multiple)
-    sr: int,  # right strip width (static, 128-multiple)
+    sl: int,  # left strip width (static, 128-multiple; 0 = no strip stores)
+    sr: int,  # right strip width (static, 128-multiple; 0 = no strip stores)
 ):
     grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
     h8 = grid[2] * tb
@@ -134,72 +136,44 @@ def _shift_kernel(
     ys = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
     lane_shift = (w128 - (dx % w128)) % w128
 
-    def right_border(rf):
-        # rf[:, w-1] broadcast: offset-broadcasts relayout slowly, so roll a
-        # static 128-lane chunk by 1 to bring column w-1 to lane offset 0.
-        chunk = pltpu.roll(rf[:, w - 128 : w], 1, 1)
-        return chunk[:, 0:1]
+    # Row borders, unconditionally: border rows sit at STATIC block
+    # positions (a top-clamped band has s0a == 0 so src row 0 is block row
+    # 0; a bottom-clamped band has s0a == h8-tb-8 so src row h-1 is block
+    # row tb+7-(h8-h)), and an unconditional 2-level select measured FASTER
+    # than pl.when band branches (branches triplicate the store pipeline and
+    # defeat Mosaic's scheduling; see CLAUDE.md round-2 notes).
+    bi = tb + 7 - (h8 - h)
+    rf = jnp.where(
+        ys < v0, a[0:1, :], jnp.where(ys > v1, a[bi : bi + 1, :], zone)
+    )
+    rolled = pltpu.roll(rf, lane_shift, 1)
+    # rf[:, w-1] broadcast: offset-broadcasts relayout slowly, so roll a
+    # static 128-lane chunk by 1 to bring column w-1 to lane offset 0.
+    right = pltpu.roll(rf[:, w - 128 : w], 1, 1)[:, 0:1]
 
-    def store(rf):
-        # rf: row-fixed [tb, w128] i32; roll lanes by -dx, fix lane borders
-        # on the static strips, store u8.
-        rolled = pltpu.roll(rf, lane_shift, 1)
-        if sl >= w128:  # degenerate small images: one double-masked store
-            xs = jax.lax.broadcasted_iota(jnp.int32, (tb, w128), 1)
-            out_ref[0, 0, :, :] = jnp.where(
-                xs < x0,
-                rf[:, 0:1],
-                jnp.where(xs > x1, jnp.broadcast_to(rf[:, w - 1 : w],
-                                                    (tb, w128)), rolled),
-            ).astype(jnp.uint8)
-            return
-
-        @pl.when(x0 > 0)
-        def _():
-            xs = jax.lax.broadcasted_iota(jnp.int32, (tb, sl), 1)
-            out_ref[0, 0, :, 0:sl] = jnp.where(
-                xs < x0, rf[:, 0:1], rolled[:, 0:sl]
-            ).astype(jnp.uint8)
-
-        @pl.when(x0 <= 0)
-        def _():
-            out_ref[0, 0, :, 0:sl] = rolled[:, 0:sl].astype(jnp.uint8)
-
-        if w128 - sl - sr > 0:
-            out_ref[0, 0, :, sl : w128 - sr] = rolled[
-                :, sl : w128 - sr
-            ].astype(jnp.uint8)
-
+    if sl == 0:
+        # Single full-width masked store: cheapest when the border strips
+        # would cover a large fraction of the row (and the only correct
+        # option when they overlap, e.g. small images).
+        xs = jax.lax.broadcasted_iota(jnp.int32, (tb, w128), 1)
+        out_ref[0, 0, :, :] = jnp.where(
+            xs < x0, rf[:, 0:1], jnp.where(xs > x1, right, rolled)
+        ).astype(jnp.uint8)
+    else:
+        # Strip stores: lane-border selects confined to the static edge
+        # strips so the middle of every row is a single rolled store (wins
+        # when sl+sr is a small fraction of w128, e.g. 4K).
+        out_ref[0, 0, :, sl : w128 - sr] = rolled[:, sl : w128 - sr].astype(
+            jnp.uint8
+        )
+        xs_l = jax.lax.broadcasted_iota(jnp.int32, (tb, sl), 1)
+        out_ref[0, 0, :, 0:sl] = jnp.where(
+            xs_l < x0, rf[:, 0:1], rolled[:, 0:sl]
+        ).astype(jnp.uint8)
         xs_r = jax.lax.broadcasted_iota(jnp.int32, (tb, sr), 1) + (w128 - sr)
-
-        @pl.when(x1 < w128 - 1)
-        def _():
-            out_ref[0, 0, :, w128 - sr : w128] = jnp.where(
-                xs_r > x1, right_border(rf), rolled[:, w128 - sr : w128]
-            ).astype(jnp.uint8)
-
-        @pl.when(x1 >= w128 - 1)
-        def _():
-            out_ref[0, 0, :, w128 - sr : w128] = rolled[
-                :, w128 - sr : w128
-            ].astype(jnp.uint8)
-
-    # border rows sit at STATIC block positions: a top-clamped band has
-    # s0a == 0 so src row 0 is block row 0; a bottom-clamped band has
-    # s0a == h8-tb-8 so src row h-1 is block row tb+7-(h8-h). A band never
-    # straddles both edges (tb < h).
-    @pl.when(v0 > 0)
-    def _():
-        store(jnp.where(ys < v0, a[0:1, :], zone))
-
-    @pl.when(v1 < tb - 1)
-    def _():
-        bi = tb + 7 - (h8 - h)
-        store(jnp.where(ys > v1, a[bi : bi + 1, :], zone))
-
-    @pl.when((v0 <= 0) & (v1 >= tb - 1))
-    def _():
-        store(zone)
+        out_ref[0, 0, :, w128 - sr : w128] = jnp.where(
+            xs_r > x1, right, rolled[:, w128 - sr : w128]
+        ).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
@@ -221,11 +195,14 @@ def shift_flat_tiled(
     """
     g, c, h8, w128 = tiled.shape
     tb = _pick_tb(h8, w128)
-    # static strips covering every lane that can need border values
+    # Static strips covering every lane that can need border values. Strip
+    # stores only pay off when the strips are a small fraction of the row
+    # (measured crossover ~1/4 on v5e); otherwise -- including overlapping
+    # strips on small images -- one full-width masked store is faster.
     sl = min(_align(min(px, w - 1), 128), w128)
     sr = min(_align(min(px, w - 1) + (w128 - w), 128), w128)
-    if sl + sr + 128 > w128:
-        sl = sr = w128  # degenerate small images: one full-width masked store
+    if sl + sr > w128 // 4 or w128 - sl - sr <= 0:
+        sl = sr = 0  # full-width masked store
     dyx = jnp.stack(
         [
             jnp.clip(focused_offsets[:, 0], -px, px),
@@ -267,7 +244,8 @@ def supports(h: int, w: int) -> bool:
     h8, w128 = _align(h, 8), _align(w, 128)
     if w128 > 8 * 3968:  # lane-roll temporaries would blow VMEM
         return False
-    # degenerate full-width strips double-store; fine but require >= 2 bands
+    # tb < h must hold so a band never needs both edge clamps (_pick_tb
+    # caps tb at h8-8); require >= 2 bands of headroom
     return h8 >= 16 and w128 >= 128 and h >= 16
 
 
