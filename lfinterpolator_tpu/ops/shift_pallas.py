@@ -245,8 +245,9 @@ def supports(h: int, w: int) -> bool:
     if w128 > 8 * 3968:  # lane-roll temporaries would blow VMEM
         return False
     # tb < h must hold so a band never needs both edge clamps (_pick_tb
-    # caps tb at h8-8); require >= 2 bands of headroom
-    return h8 >= 16 and w128 >= 128 and h >= 16
+    # caps tb at h8-8); w >= 128 so the right-border chunk roll has a full
+    # static 128-lane window; require >= 2 bands of headroom
+    return h8 >= 16 and w >= 128 and h >= 16
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
