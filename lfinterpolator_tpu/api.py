@@ -233,6 +233,11 @@ class Interpolator:
             pad = focus_ops.shift_pad_bound(
                 offsets, cfg.focus, cfg.focus_range, radius, lf.height, lf.width
             )
+            from .ops import allfocus_pallas
+
+            spread = allfocus_pallas.spread_bound(
+                offsets, cfg.focus, cfg.focus_range
+            )
             if progress:
                 print("Estimating focus map...")
 
@@ -265,6 +270,7 @@ class Interpolator:
                     jnp.float32(cfg.focus_range),
                     jnp.asarray(ids),
                     exact_taps=cfg.exact_focus_taps,
+                    spread=spread,
                     **kwargs,
                 )
 

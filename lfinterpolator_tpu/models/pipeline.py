@@ -48,7 +48,8 @@ def render_fixed_focus(
 @partial(
     jax.jit,
     static_argnames=(
-        "method", "radius", "filter_radius", "steps", "pad", "exact_taps"
+        "method", "radius", "filter_radius", "steps", "pad", "exact_taps",
+        "spread",
     ),
 )
 def render_all_focus(
@@ -65,11 +66,15 @@ def render_all_focus(
     steps: int = 32,
     pad: tuple[int, int] | None = None,
     exact_taps: bool = True,
+    spread: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All-in-focus render: estimate -> filter -> per-pixel blend.
 
     `pad` is the static shift bound from focus_ops.shift_pad_bound (enables
-    the pre-padded fast path of the estimator).
+    the pre-padded fast path of the estimator). `spread` is the static
+    row-span bound from allfocus_pallas.spread_bound; when given (and a TPU
+    is available), the TEN per-pixel blend runs through the fused Pallas
+    allFocus kernel instead of the XLA per-level scan.
 
     The per-pixel blend keeps the reference's map asymmetry
     (src/kernels.cu:326 vs :430): STD blends with the FILTERED map -- whose
@@ -100,8 +105,27 @@ def render_all_focus(
                 images, weights, offsets, map1, focus, focus_range
             )
     else:
-        views = blend_xla.render_allfocus_quantized(
-            images, weights, offsets, map0, focus, focus_range,
-            steps=steps, pad=pad,
-        )
+        g, c, h, w = images.shape
+        from ..ops import allfocus_pallas
+
+        if (
+            spread is not None
+            and blend_pallas.is_available()
+            and allfocus_pallas.supports(h, w, spread)
+        ):
+            levels, f_levels = blend_xla.quantized_levels(
+                focus, focus_range, steps
+            )
+            views = allfocus_pallas.render_allfocus_tiled(
+                images, weights, map0, levels,
+                f_levels[:, None] * offsets[None, :, 1],
+                f_levels[:, None] * offsets[None, :, 0],
+                spread=spread,
+                px=pad[0] if pad is not None else max(w, 1),
+            )
+        else:
+            views = blend_xla.render_allfocus_quantized(
+                images, weights, offsets, map0, focus, focus_range,
+                steps=steps, pad=pad,
+            )
     return views, jnp.stack([map0, map1])

@@ -63,19 +63,23 @@ def spread_bound(
 
 
 def _pick_tb_af(h8: int, w128: int, spread: int,
-                budget_bytes: int = 9 * 1024 * 1024) -> int | None:
+                budget_bytes: int = 11 * 1024 * 1024) -> int | None:
     """Largest 8-multiple divisor of h8 whose working set fits VMEM.
 
-    Model: 2 u8 windows [tbw, w128] + widened i32 window + per-level i32
-    temporaries (~5 live [tb, w128]) + i32 accumulator + blocks."""
+    Model: 2 u8 DMA windows [tbw, w128] + the widened i32 window scratch +
+    per-level i32 temporaries (~5 live [tb, w128]) + i32 accumulator +
+    double-buffered blocks. Bigger tb amortizes the once-per-step window
+    costs over more output rows."""
     best = None
-    for tb in range(8, h8 - 8 + 1, 8):
+    for tb in range(8, h8 + 1, 8):
         if h8 % tb:
             continue
-        tbw = _align(tb + spread + 10, 8)
-        if tbw + 8 > h8:
+        tbw = _align(tb + spread + 16, 8)
+        # tbw may fill the whole stack: the window start is then always 0,
+        # so both border rows still sit at static block positions
+        if tbw > h8:
             continue
-        need = w128 * (2 * tbw + 4 * tbw + 4 * tbw + 24 * tb + 3 * tb)
+        need = w128 * (2 * tbw + 4 * tbw + 20 * tb + 4 * tb + 3 * tb)
         if need <= budget_bytes:
             best = tb
     return best
@@ -100,6 +104,7 @@ def _af_kernel(
     raw_ref,  # HBM [G, C, H8, W128] uint8
     out_ref,  # VMEM block [1, 1, TB, W128] uint8
     acc,  # VMEM scratch [TB, W128] int32
+    win,  # VMEM scratch [TBW, W128] int32 (widened window)
     scratch,  # VMEM scratch [2, TBW, W128] uint8
     sems,  # DMA semaphores [2]
     *,
@@ -108,22 +113,28 @@ def _af_kernel(
     tb: int,
     tbw: int,
     n_levels: int,
+    px: int,
+    sl: int,  # left lane-border strip (static, 128-mult; 0 = full-width)
+    sr: int,  # right lane-border strip
 ):
     grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
     h8 = grid[2] * tb
     w128 = out_ref.shape[3]
     n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
     total = grid[0] * grid[1] * grid[2]
+    s_rows = tb + 16  # per-level sub-window rows (slice of `win`)
 
     def window_start(g, rb):
-        # Pin bottom-clamp-capable bands to the top-most window so the
+        # Pin bottom-clamp-capable bands to the bottom-most window so the
         # border row h-1 sits at a STATIC block position; elsewhere an
         # 8-aligned start below the lowest needed row (coverage by the
         # static spread bound in tbw).
         r0 = rb * tb
         bot_possible = r0 + tb + rowspan_ref[g, 1] > h - 2
-        s0 = jnp.clip(r0 + rowspan_ref[g, 0] - 1, 0, h8 - tbw) // 8 * 8
-        return jnp.where(bot_possible, h8 - tbw, s0)
+        s0 = jnp.clip(r0 + rowspan_ref[g, 0] - 1, 0, h8 - tbw)
+        # the trailing //8*8 must be the last op so Mosaic can prove the
+        # DMA start's sublane alignment (h8 - tbw is already a multiple)
+        return jnp.where(bot_possible, h8 - tbw, s0) // 8 * 8
 
     def copy_for(step):
         rb = step % grid[2]
@@ -151,7 +162,10 @@ def _af_kernel(
     s0a = window_start(g, rb)
     minny = rowspan_ref[g, 0]
 
-    a = scratch[n % 2, :, :].astype(jnp.int32)  # [tbw, w128]
+    # widen once per step; per-level row extraction is then an 8-aligned
+    # dynamic slice of `win` + a small residual roll (cost ~ tb, not tbw --
+    # a per-level roll of the full window measured 3.5x slower at 8x8/1080p)
+    win[:, :] = scratch[n % 2, :, :].astype(jnp.int32)
     mapb = map_ref[:, :].astype(jnp.int32)  # [tb, w128]
     acc[:, :] = jnp.zeros((tb, w128), jnp.int32)
 
@@ -161,8 +175,8 @@ def _af_kernel(
     qxf = qx.astype(jnp.float32)
     # static block positions of the border rows (see window_start)
     bi = tbw - 1 - (h8 - h)
-    top_row = a[0:1, :]
-    bot_row = a[bi : bi + 1, :]
+    top_row = win[0:1, :]
+    bot_row = win[bi : bi + 1, :]
 
     def level_body(l, _):
         @pl.when(pres_ref[rb, l] == 1)
@@ -170,10 +184,11 @@ def _af_kernel(
             fy = fys_ref[l, g]
             fx = fxs_ref[l, g]
             n_y = jnp.clip(jnp.floor(fy), -(h + 2.0), h + 2.0).astype(jnp.int32)
-            n_y = jnp.maximum(n_y, minny)  # defensive: stay in the window
-            n_x = jnp.clip(jnp.floor(fx), -(w + 2.0), w + 2.0).astype(jnp.int32)
+            n_y = jnp.clip(n_y, minny, minny + tbw)  # defensive: in-window
+            n_x = jnp.clip(jnp.floor(fx), -(px + 0.0), px + 0.0).astype(jnp.int32)
 
-            # exact truncation deltas (blend_xla.trunc_offsets semantics)
+            # exact truncation deltas (blend_xla.trunc_offsets semantics);
+            # tiny [tb,1]/[1,w128] vectors
             dyo = jnp.clip(
                 (jnp.trunc(qyf + fy) - (qyf + jnp.floor(fy))).astype(jnp.int32),
                 -1, 1,
@@ -183,13 +198,28 @@ def _af_kernel(
                 -1, 1,
             )  # [1, w128]
 
-            rel = r0 + n_y - 1 - s0a
-            zb = pltpu.roll(a, (tbw - rel % tbw) % tbw, 0)  # zb[j] = row r0+n_y-1+j
-            zm, z0, zp = zb[0:tb, :], zb[1 : tb + 1, :], zb[2 : tb + 2, :]
+            # rows: wanted img rows [r0+n_y-1, r0+n_y+tb+1); 8-aligned slice
+            # start + residual roll; negative/overflowing residuals wrap
+            # (mod), leaving garbage exactly on rows whose rowidx is out of
+            # [0, h) -- fixed by the border selects below
+            o = r0 + n_y - 1 - s0a
+            # clip BEFORE aligning: the trailing //8*8 must be the last op
+            # so Mosaic can prove the slice's sublane alignment
+            od = jnp.clip(o, 0, tbw - s_rows + 7) // 8 * 8
+            small = win[pl.ds(od, s_rows), :]
+            r_res = o - od
+            small = pltpu.roll(small, (s_rows - r_res % s_rows) % s_rows, 0)
+
+            zm, z0, zp = (
+                small[0:tb, :],
+                small[1 : tb + 1, :],
+                small[2 : tb + 2, :],
+            )
             rsel = jnp.where(dyo == 1, zp, jnp.where(dyo == -1, zm, z0))
             rowidx = qy + n_y + dyo
             rf = jnp.where(
-                rowidx < 0, top_row, jnp.where(rowidx > h - 1, bot_row, rsel)
+                rowidx < 0, top_row,
+                jnp.where(rowidx > h - 1, bot_row, rsel),
             )
 
             rolled = pltpu.roll(rf, (w128 - n_x % w128) % w128, 1)
@@ -199,11 +229,36 @@ def _af_kernel(
             colidx = qx + n_x + dxo
             left = rf[:, 0:1]
             right = pltpu.roll(rf[:, w - 128 : w], 1, 1)[:, 0:1]
-            val = jnp.where(
-                colidx < 0, left, jnp.where(colidx > w - 1, right, csel)
-            )
+            lvl_mask = mapb == levels_ref[l]
 
-            acc[:, :] = jnp.where(mapb == levels_ref[l], val, acc[:, :])
+            if sl == 0:
+                # full-width masked accumulate (small images)
+                val = jnp.where(
+                    colidx < 0, left, jnp.where(colidx > w - 1, right, csel)
+                )
+                acc[:, :] = jnp.where(lvl_mask, val, acc[:, :])
+            else:
+                # lane borders only exist on the static strips; the middle
+                # is a plain masked accumulate
+                acc[:, sl : w128 - sr] = jnp.where(
+                    lvl_mask[:, sl : w128 - sr],
+                    csel[:, sl : w128 - sr],
+                    acc[:, sl : w128 - sr],
+                )
+                val_l = jnp.where(colidx[:, 0:sl] < 0, left, csel[:, 0:sl])
+                acc[:, 0:sl] = jnp.where(
+                    lvl_mask[:, 0:sl], val_l, acc[:, 0:sl]
+                )
+                val_r = jnp.where(
+                    colidx[:, w128 - sr : w128] > w - 1,
+                    right,
+                    csel[:, w128 - sr : w128],
+                )
+                acc[:, w128 - sr : w128] = jnp.where(
+                    lvl_mask[:, w128 - sr : w128],
+                    val_r,
+                    acc[:, w128 - sr : w128],
+                )
 
         return 0
 
@@ -212,7 +267,7 @@ def _af_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "spread")
+    jax.jit, static_argnames=("h", "w", "spread", "px")
 )
 def allfocus_select_tiled(
     tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (shift_pallas.pad_to_tiles)
@@ -224,20 +279,28 @@ def allfocus_select_tiled(
     h: int,
     w: int,
     spread: int,
+    px: int,
 ) -> jnp.ndarray:
     """Per-pixel-level selected stack -> flat [G, C*H8*W128] uint8.
 
     Bit-identical to the XLA quantized-select pass of
     blend_xla.render_allfocus_quantized (for maps whose bytes are all in
-    `levels`); feed the result to blend_pallas.blend_flat.
+    `levels`); feed the result to blend_pallas.blend_flat. `px` bounds
+    |floor(fx)| (e.g. the x component of focus.shift_pad_bound).
     """
     g, c, h8, w128 = tiled.shape
     n_levels = levels.shape[0]
     tb = _pick_tb_af(h8, w128, spread)
     if tb is None:
         raise ValueError("geometry unsupported; check supports() first")
-    tbw = _align(tb + spread + 10, 8)
+    tbw = _align(tb + spread + 16, 8)
     nb = h8 // tb
+    # lane-border strips (see the fixed-shift kernel); full-width masked
+    # accumulate when they would overlap or cover everything
+    sl = min(_align(min(px, w - 1) + 2, 128), w128)
+    sr = min(_align(min(px, w - 1) + 2 + (w128 - w), 128), w128)
+    if px + 2 >= w or sl + sr + 128 > w128:
+        sl = sr = 0
 
     nys = jnp.clip(jnp.floor(fys), -(h + 2.0), h + 2.0).astype(jnp.int32)
     minny = nys.min(axis=0)
@@ -252,7 +315,8 @@ def allfocus_select_tiled(
     ).astype(jnp.int32)  # [NB, L]
 
     kernel = functools.partial(
-        _af_kernel, h=h, w=w, tb=tb, tbw=tbw, n_levels=n_levels
+        _af_kernel, h=h, w=w, tb=tb, tbw=tbw, n_levels=n_levels,
+        px=px, sl=sl, sr=sr,
     )
     out = pl.pallas_call(
         kernel,
@@ -276,6 +340,7 @@ def allfocus_select_tiled(
         out_shape=jax.ShapeDtypeStruct((g, c, h8, w128), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((tb, w128), jnp.int32),
+            pltpu.VMEM((tbw, w128), jnp.int32),
             pltpu.VMEM((2, tbw, w128), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -306,6 +371,7 @@ def render_allfocus_tiled(
     fxs: jnp.ndarray,  # [L, G] f32
     *,
     spread: int,
+    px: int,
 ) -> jnp.ndarray:
     """Full TEN allFocus render: fused select kernel + MXU blend.
 
@@ -318,7 +384,8 @@ def render_allfocus_tiled(
     v = weights.shape[0]
     map8 = jnp.pad(focus_map, ((0, h8 - h), (0, w128 - w)), mode="edge")
     flat = allfocus_select_tiled(
-        pad_to_tiles(images), map8, levels, fys, fxs, h=h, w=w, spread=spread
+        pad_to_tiles(images), map8, levels, fys, fxs,
+        h=h, w=w, spread=spread, px=px,
     )
     out = blend_flat(flat, weights).reshape(v, c, h8, w128)
     if (h8, w128) != (h, w):

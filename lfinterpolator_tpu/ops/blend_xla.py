@@ -276,6 +276,27 @@ def focus_values_from_map(
     )
 
 
+def quantized_levels(
+    focus: jnp.ndarray, focus_range: jnp.ndarray, steps: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(byte values, decoded focus values) of the estimator's `steps` levels.
+
+    Bytes use the estimator's exact f32 encode expression (ops/focus.py) so
+    equality masks match the raw map bit-for-bit; the decode matches
+    loadFocusFromMap (src/kernels.cu:134-137).
+    """
+    focus = jnp.asarray(focus, jnp.float32)
+    focus_range = jnp.asarray(focus_range, jnp.float32)
+    idx = jnp.arange(steps, dtype=jnp.float32)
+    step = div_exact(focus_range, jnp.float32(steps - 1))
+    norm = div_exact((focus + no_fma(step * idx)) - focus, focus_range)
+    levels = jnp.floor(no_fma(norm * jnp.float32(255)) + 0.5).astype(jnp.uint8)
+    f_levels = focus + no_fma(
+        div_exact(levels.astype(jnp.float32), jnp.float32(255)) * focus_range
+    )
+    return levels, f_levels
+
+
 def render_allfocus_quantized(
     images: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32
@@ -318,14 +339,11 @@ def render_allfocus_quantized(
     focus_range = jnp.asarray(focus_range, jnp.float32)
     if all_bytes:
         levels = jnp.arange(256, dtype=jnp.uint8)
+        f_levels = focus + no_fma(
+            div_exact(levels.astype(jnp.float32), jnp.float32(255)) * focus_range
+        )
     else:
-        idx = jnp.arange(steps, dtype=jnp.float32)
-        step = div_exact(focus_range, jnp.float32(steps - 1))
-        norm = div_exact((focus + no_fma(step * idx)) - focus, focus_range)
-        levels = jnp.floor(no_fma(norm * jnp.float32(255)) + 0.5).astype(jnp.uint8)
-    f_levels = focus + no_fma(
-        div_exact(levels.astype(jnp.float32), jnp.float32(255)) * focus_range
-    )
+        levels, f_levels = quantized_levels(focus, focus_range, steps)
     # True fractional per-level, per-image shifts (trunc applied per pixel by
     # trunc_shifted_window, matching focusCoords exactly).
     fxs = f_levels[:, None] * offsets[None, :, 0]  # [steps, G]

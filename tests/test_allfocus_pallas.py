@@ -1,0 +1,121 @@
+"""Fused per-pixel-focus kernel (ops/allfocus_pallas) vs the XLA path.
+
+Runs in Pallas interpret mode on CPU (see conftest). The ground truth is
+blend_xla.render_allfocus_quantized, which is itself oracle-validated
+(test_blend_xla, test_fuzz); the fused kernel must be bit-identical on maps
+whose bytes are the estimator's quantized levels.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lfinterpolator_tpu.core import geometry
+from lfinterpolator_tpu.models import pipeline
+from lfinterpolator_tpu.ops import allfocus_pallas, blend_xla, focus as focus_ops
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+
+
+def _quantized_case(rng, g, h, w, steps, focus, frange, oamp, v=8):
+    images = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+    weights = jnp.asarray(
+        (np.abs(rng.normal(size=(v, g))) / g).astype(np.float32)
+    )
+    offsets = jnp.asarray(rng.uniform(-oamp, oamp, (g, 2)).astype(np.float32))
+    levels, f_levels = blend_xla.quantized_levels(
+        jnp.float32(focus), jnp.float32(frange), steps
+    )
+    fmap = jnp.asarray(np.asarray(levels)[rng.integers(0, steps, (h, w))])
+    return images, weights, offsets, levels, f_levels, fmap
+
+
+CASES = [
+    # (G, H, W, steps, focus, frange, offset_amp)
+    (6, 64, 256, 8, 0.1, 0.3, 60.0),
+    (4, 48, 192, 16, -0.2, 0.5, 30.0),
+    (5, 96, 140, 32, 0.05, 0.2, 200.0),  # shifts beyond the image width
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"g{c[0]}_{c[1]}x{c[2]}_s{c[3]}")
+def test_matches_quantized_xla(case, rng):
+    g, h, w, steps, focus, frange, oamp = case
+    images, weights, offsets, levels, f_levels, fmap = _quantized_case(
+        rng, g, h, w, steps, focus, frange, oamp
+    )
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    assert allfocus_pallas.supports(h, w, spread)
+    mx = max(abs(focus), abs(focus + frange)) * float(
+        np.abs(np.asarray(offsets)[:, 0]).max()
+    )
+    my = max(abs(focus), abs(focus + frange)) * float(
+        np.abs(np.asarray(offsets)[:, 1]).max()
+    )
+    want = np.asarray(
+        blend_xla.render_allfocus_quantized(
+            images, weights, offsets, fmap,
+            jnp.float32(focus), jnp.float32(frange), steps=steps,
+            pad=(int(np.ceil(mx)) + 8, int(np.ceil(my)) + 8),
+        )
+    )
+    got = np.asarray(
+        allfocus_pallas.render_allfocus_tiled(
+            images, weights, fmap, levels,
+            f_levels[:, None] * offsets[None, :, 1],
+            f_levels[:, None] * offsets[None, :, 0],
+            spread=spread,
+            px=int(np.ceil(mx)) + 8,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_ten_uses_kernel_and_matches(rng):
+    """Full pipeline with spread= must equal the pipeline without it."""
+    g_cols = g_rows = 4
+    h, w, steps = 64, 256, 32
+    focus, frange = 0.05, 0.2
+    g = g_cols * g_rows
+    images = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+    se = np.array([0.0, 0.0, 3.0, 3.0], np.float32)
+    weights = jnp.asarray(
+        geometry.quantize_weights_f16(
+            geometry.weight_matrix(se, g_cols, g_rows, 3.0, 8)
+        ).astype(np.float32)
+    )
+    offsets = jnp.asarray(
+        geometry.compute_offsets(
+            g_cols, g_rows, w, h, 1.0, geometry.trajectory_center(se)
+        )
+    )
+    ids = jnp.asarray(
+        geometry.select_focus_views(se, g_cols, g_rows, g)
+    )
+    radius = geometry.block_radius(w, h)
+    pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    assert allfocus_pallas.supports(h, w, spread)
+    kwargs = dict(
+        method="TEN", radius=radius, filter_radius=(0, 0),
+        steps=steps, pad=pad,
+    )
+    views_ref, maps_ref = pipeline.render_all_focus(
+        images, weights, offsets, jnp.float32(focus), jnp.float32(frange),
+        ids, **kwargs,
+    )
+    views_ker, maps_ker = pipeline.render_all_focus(
+        images, weights, offsets, jnp.float32(focus), jnp.float32(frange),
+        ids, spread=spread, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(maps_ker), np.asarray(maps_ref))
+    np.testing.assert_array_equal(np.asarray(views_ker), np.asarray(views_ref))
+
+
+def test_unsupported_geometry_falls_back():
+    assert not allfocus_pallas.supports(12, 256, 64)  # too short
+    assert not allfocus_pallas.supports(64, 100, 64)  # w < 128
+    assert not allfocus_pallas.supports(64, 256, 4096)  # spread blows VMEM
