@@ -260,7 +260,8 @@ class Interpolator:
                         jnp.float32(cfg.focus + 1e-7 * i),
                         jnp.float32(cfg.focus_range),
                         jnp.asarray(ids),
-                        exact_taps=cfg.exact_focus_taps, **kwargs,
+                        exact_taps=cfg.exact_focus_taps, spread=spread,
+                        **kwargs,
                     )
                 return pipeline.render_all_focus(
                     self.images,

@@ -62,17 +62,18 @@ def spread_bound(
     return max(bucket, -(-int(np.ceil(spread + 2)) // bucket) * bucket)
 
 
-def _pick_tb_af(h8: int, w128: int, spread: int,
+def _pick_tb_af(hl8: int, h8: int, w128: int, spread: int,
                 budget_bytes: int = 11 * 1024 * 1024) -> int | None:
-    """Largest 8-multiple divisor of h8 whose working set fits VMEM.
+    """Largest 8-multiple divisor of the output-block height `hl8` whose
+    working set fits VMEM (windows must also fit the full stack height h8).
 
     Model: 2 u8 DMA windows [tbw, w128] + the widened i32 window scratch +
     per-level i32 temporaries (~5 live [tb, w128]) + i32 accumulator +
     double-buffered blocks. Bigger tb amortizes the once-per-step window
     costs over more output rows."""
     best = None
-    for tb in range(8, h8 + 1, 8):
-        if h8 % tb:
+    for tb in range(8, hl8 + 1, 8):
+        if hl8 % tb:
             continue
         tbw = _align(tb + spread + 16, 8)
         # tbw may fill the whole stack: the window start is then always 0,
@@ -85,13 +86,15 @@ def _pick_tb_af(h8: int, w128: int, spread: int,
     return best
 
 
-def supports(h: int, w: int, spread: int) -> bool:
+def supports(h: int, w: int, spread: int, row_count: int | None = None) -> bool:
     """Whether the fused allFocus kernel handles this geometry (else callers
-    use the XLA per-level scan path)."""
+    use the XLA per-level scan path). `row_count` is the output row-block
+    height for sharded rendering (None = full frame)."""
     h8, w128 = _align(h, 8), _align(w, 128)
-    if w128 > 8 * 3968 or w < 128 or h < 16:
+    hl8 = h8 if row_count is None else _align(int(row_count), 8)
+    if w128 > 8 * 3968 or w < 128 or h < 16 or hl8 < 8:
         return False
-    return _pick_tb_af(h8, w128, spread) is not None
+    return _pick_tb_af(hl8, h8, w128, spread) is not None
 
 
 def _af_kernel(
@@ -100,8 +103,9 @@ def _af_kernel(
     fxs_ref,  # SMEM [L, G] f32
     rowspan_ref,  # SMEM [G, 2] int32 (min, max) of floor(fy) over levels
     pres_ref,  # SMEM [NB, L] int32 presence per (band, level)
+    rs_ref,  # SMEM [1] int32: global row of the output block's first row
     map_ref,  # VMEM block [TB, W128] uint8 (raw focus map band)
-    raw_ref,  # HBM [G, C, H8, W128] uint8
+    raw_ref,  # HBM [G, C, H8, W128] uint8 (FULL image stack)
     out_ref,  # VMEM block [1, 1, TB, W128] uint8
     acc,  # VMEM scratch [TB, W128] int32
     win,  # VMEM scratch [TBW, W128] int32 (widened window)
@@ -118,7 +122,7 @@ def _af_kernel(
     sr: int,  # right lane-border strip
 ):
     grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
-    h8 = grid[2] * tb
+    h8 = raw_ref.shape[2]  # FULL tiled height (output may be a row block)
     w128 = out_ref.shape[3]
     n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
     total = grid[0] * grid[1] * grid[2]
@@ -129,7 +133,7 @@ def _af_kernel(
         # border row h-1 sits at a STATIC block position; elsewhere an
         # 8-aligned start below the lowest needed row (coverage by the
         # static spread bound in tbw).
-        r0 = rb * tb
+        r0 = rs_ref[0] + rb * tb
         bot_possible = r0 + tb + rowspan_ref[g, 1] > h - 2
         s0 = jnp.clip(r0 + rowspan_ref[g, 0] - 1, 0, h8 - tbw)
         # the trailing //8*8 must be the last op so Mosaic can prove the
@@ -158,7 +162,7 @@ def _af_kernel(
 
     g = pl.program_id(0)
     rb = pl.program_id(2)
-    r0 = rb * tb
+    r0 = rs_ref[0] + rb * tb
     s0a = window_start(g, rb)
     minny = rowspan_ref[g, 0]
 
@@ -267,11 +271,11 @@ def _af_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "spread", "px")
+    jax.jit, static_argnames=("h", "w", "spread", "px", "row_count")
 )
 def allfocus_select_tiled(
     tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (shift_pallas.pad_to_tiles)
-    focus_map8: jnp.ndarray,  # [H8, W128] uint8 (padded raw map)
+    focus_map8: jnp.ndarray,  # [HL8, W128] uint8 (padded raw-map BLOCK)
     levels: jnp.ndarray,  # [L] uint8 (quantized level byte values)
     fys: jnp.ndarray,  # [L, G] f32 (f_level * offset_y)
     fxs: jnp.ndarray,  # [L, G] f32
@@ -280,21 +284,29 @@ def allfocus_select_tiled(
     w: int,
     spread: int,
     px: int,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
 ) -> jnp.ndarray:
-    """Per-pixel-level selected stack -> flat [G, C*H8*W128] uint8.
+    """Per-pixel-level selected stack -> flat [G, C*HL8*W128] uint8.
 
     Bit-identical to the XLA quantized-select pass of
     blend_xla.render_allfocus_quantized (for maps whose bytes are all in
     `levels`); feed the result to blend_pallas.blend_flat. `px` bounds
     |floor(fx)| (e.g. the x component of focus.shift_pad_bound).
+
+    With `row_start` (traced) / `row_count` (static), renders only that
+    block of output rows (spatially-sharded rendering); `focus_map8` must
+    then be the matching padded [align8(row_count), W128] block.
     """
     g, c, h8, w128 = tiled.shape
+    hl8 = h8 if row_count is None else _align(int(row_count), 8)
     n_levels = levels.shape[0]
-    tb = _pick_tb_af(h8, w128, spread)
+    tb = _pick_tb_af(hl8, h8, w128, spread)
     if tb is None:
         raise ValueError("geometry unsupported; check supports() first")
     tbw = _align(tb + spread + 16, 8)
-    nb = h8 // tb
+    nb = hl8 // tb
+    row_start = jnp.asarray(row_start, jnp.int32).reshape(1)
     # lane-border strips (see the fixed-shift kernel); full-width masked
     # accumulate when they would overlap or cover everything
     sl = min(_align(min(px, w - 1) + 2, 128), w128)
@@ -327,6 +339,7 @@ def allfocus_select_tiled(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (tb, w128), lambda gg, cc, rr: (rr, 0),
                 memory_space=pltpu.VMEM,
@@ -337,7 +350,7 @@ def allfocus_select_tiled(
             (1, 1, tb, w128), lambda gg, cc, rr: (gg, cc, rr, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((g, c, h8, w128), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((g, c, hl8, w128), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((tb, w128), jnp.int32),
             pltpu.VMEM((tbw, w128), jnp.int32),
@@ -345,8 +358,8 @@ def allfocus_select_tiled(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=10 * n_levels * g * c * h8 * w128,
-            bytes_accessed=2 * g * c * h8 * w128,
+            flops=10 * n_levels * g * c * hl8 * w128,
+            bytes_accessed=2 * g * c * hl8 * w128,
             transcendentals=0,
         ),
         interpret=_interpret(),
@@ -356,38 +369,47 @@ def allfocus_select_tiled(
         fxs.astype(jnp.float32),
         rowspan,
         presence,
+        row_start,
         focus_map8,
         tiled,
     )
-    return out.reshape(g, c * h8 * w128)
+    return out.reshape(g, c * hl8 * w128)
 
 
 def render_allfocus_tiled(
     images: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32
-    focus_map: jnp.ndarray,  # [H, W] uint8 (raw, level-quantized)
+    focus_map: jnp.ndarray,  # [row_count or H, W] uint8 (raw, quantized)
     levels: jnp.ndarray,  # [L] uint8
     fys: jnp.ndarray,  # [L, G] f32
     fxs: jnp.ndarray,  # [L, G] f32
     *,
     spread: int,
     px: int,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
 ) -> jnp.ndarray:
     """Full TEN allFocus render: fused select kernel + MXU blend.
 
-    -> [V, C, H, W] uint8; same numerics as the XLA quantized path."""
+    -> [V, C, row_count or H, W] uint8; same numerics as the XLA quantized
+    path. With `row_start`/`row_count`, renders only that block of output
+    rows (`focus_map` must be the matching block)."""
     from .blend_pallas import blend_flat
     from .shift_pallas import pad_to_tiles
 
     g, c, h, w = images.shape
-    h8, w128 = _align(h, 8), _align(w, 128)
+    h_out = h if row_count is None else int(row_count)
+    hl8, w128 = _align(h_out, 8), _align(w, 128)
     v = weights.shape[0]
-    map8 = jnp.pad(focus_map, ((0, h8 - h), (0, w128 - w)), mode="edge")
+    map8 = jnp.pad(
+        focus_map, ((0, hl8 - h_out), (0, w128 - w)), mode="edge"
+    )
     flat = allfocus_select_tiled(
         pad_to_tiles(images), map8, levels, fys, fxs,
         h=h, w=w, spread=spread, px=px,
+        row_start=row_start, row_count=row_count,
     )
-    out = blend_flat(flat, weights).reshape(v, c, h8, w128)
-    if (h8, w128) != (h, w):
-        out = out[:, :, :h, :w]
+    out = blend_flat(flat, weights).reshape(v, c, hl8, w128)
+    if (hl8, w128) != (h_out, w):
+        out = out[:, :, :h_out, :w]
     return out

@@ -153,7 +153,7 @@ def render_fixed_sharded_pallas(
     jax.jit,
     static_argnames=(
         "mesh", "method", "radius", "filter_radius", "steps", "pad",
-        "exact_taps",
+        "exact_taps", "spread",
     ),
 )
 def render_all_focus_sharded(
@@ -171,6 +171,7 @@ def render_all_focus_sharded(
     steps: int = 32,
     pad: tuple[int, int] = (64, 64),
     exact_taps: bool = True,
+    spread: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full all-in-focus pipeline over the (view x space) mesh.
 
@@ -212,10 +213,33 @@ def render_all_focus_sharded(
                 all_bytes=True,
             )
         else:
-            views_l = blend_xla.render_allfocus_quantized(
-                images_l, weights_l, offsets_l, map0_l, focus, focus_range,
-                steps=steps, pad=pad, row_start=row0, row_count=h_local,
-            )
+            from ..ops import allfocus_pallas, blend_pallas
+
+            if (
+                spread is not None
+                and blend_pallas.is_available()
+                and allfocus_pallas.supports(
+                    h, w, spread, row_count=h_local
+                )
+            ):
+                # fused allFocus kernel per shard: the kernel reads the
+                # full replicated stack but emits only this shard's rows
+                levels, f_levels = blend_xla.quantized_levels(
+                    focus, focus_range, steps
+                )
+                views_l = allfocus_pallas.render_allfocus_tiled(
+                    images_l, weights_l, map0_l, levels,
+                    f_levels[:, None] * offsets_l[None, :, 1],
+                    f_levels[:, None] * offsets_l[None, :, 0],
+                    spread=spread, px=pad[0],
+                    row_start=row0, row_count=h_local,
+                )
+            else:
+                views_l = blend_xla.render_allfocus_quantized(
+                    images_l, weights_l, offsets_l, map0_l, focus,
+                    focus_range, steps=steps, pad=pad,
+                    row_start=row0, row_count=h_local,
+                )
         return views_l, jnp.stack([map0_l, map1_l])
 
     return shard_map(

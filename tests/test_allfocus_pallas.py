@@ -119,3 +119,78 @@ def test_unsupported_geometry_falls_back():
     assert not allfocus_pallas.supports(12, 256, 64)  # too short
     assert not allfocus_pallas.supports(64, 100, 64)  # w < 128
     assert not allfocus_pallas.supports(64, 256, 4096)  # spread blows VMEM
+
+
+def test_row_blocks_match_full_frame(rng):
+    """Stacking row-block renders must equal the full-frame render."""
+    g, h, w, steps, focus, frange, oamp = 5, 96, 256, 16, 0.1, 0.3, 40.0
+    images, weights, offsets, levels, f_levels, fmap = _quantized_case(
+        rng, g, h, w, steps, focus, frange, oamp
+    )
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    fys = f_levels[:, None] * offsets[None, :, 1]
+    fxs = f_levels[:, None] * offsets[None, :, 0]
+    px = 24
+    full = np.asarray(
+        allfocus_pallas.render_allfocus_tiled(
+            images, weights, fmap, levels, fys, fxs, spread=spread, px=px
+        )
+    )
+    n_blocks, hb = 4, h // 4
+    assert allfocus_pallas.supports(h, w, spread, row_count=hb)
+    blocks = [
+        np.asarray(
+            allfocus_pallas.render_allfocus_tiled(
+                images, weights, fmap[b * hb : (b + 1) * hb], levels,
+                fys, fxs, spread=spread, px=px,
+                row_start=b * hb, row_count=hb,
+            )
+        )
+        for b in range(n_blocks)
+    ]
+    np.testing.assert_array_equal(np.concatenate(blocks, axis=2), full)
+
+
+def test_sharded_pipeline_uses_kernel_and_matches(rng):
+    """Mesh all-focus with spread= must equal the mesh render without it."""
+    import jax
+    from jax.sharding import Mesh
+    from lfinterpolator_tpu.parallel import mesh as pmesh
+
+    g_cols = g_rows = 4
+    h, w, steps = 64, 256, 16
+    focus, frange = 0.05, 0.2
+    g = g_cols * g_rows
+    images = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+    se = np.array([0.0, 0.0, 3.0, 3.0], np.float32)
+    weights = jnp.asarray(
+        geometry.quantize_weights_f16(
+            geometry.weight_matrix(se, g_cols, g_rows, 3.0, 8)
+        ).astype(np.float32)
+    )
+    offsets = jnp.asarray(
+        geometry.compute_offsets(
+            g_cols, g_rows, w, h, 1.0, geometry.trajectory_center(se)
+        )
+    )
+    ids = jnp.asarray(geometry.select_focus_views(se, g_cols, g_rows, g))
+    radius = geometry.block_radius(w, h)
+    pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("view", "space"))
+    assert allfocus_pallas.supports(h, w, spread, row_count=h // 2)
+    kwargs = dict(
+        method="TEN", radius=radius, filter_radius=(0, 0),
+        steps=steps, pad=pad,
+    )
+    views_ref, maps_ref = pmesh.render_all_focus_sharded(
+        mesh, images, weights, offsets,
+        jnp.float32(focus), jnp.float32(frange), ids, **kwargs,
+    )
+    views_ker, maps_ker = pmesh.render_all_focus_sharded(
+        mesh, images, weights, offsets,
+        jnp.float32(focus), jnp.float32(frange), ids,
+        spread=spread, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(maps_ker), np.asarray(maps_ref))
+    np.testing.assert_array_equal(np.asarray(views_ker), np.asarray(views_ref))
