@@ -78,7 +78,9 @@ def shift_pad_bound(
 
 @partial(
     jax.jit,
-    static_argnames=("radius", "steps", "pad", "row_count", "exact_taps"),
+    static_argnames=(
+        "radius", "steps", "pad", "row_count", "exact_taps", "tap_dtype"
+    ),
 )
 def estimate_focus_map(
     selected: jnp.ndarray,  # [K, C, H, W] uint8 (the focus views, pre-gathered)
@@ -91,8 +93,18 @@ def estimate_focus_map(
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
     exact_taps: bool = True,
+    tap_dtype: str = "u8",
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
+
+    `tap_dtype` picks the element type the tap selects and view min/max run
+    at ("u8", "i16", "bf16", "f32") -- numerically identical for any choice
+    (taps are 0..255 integers, exactly representable in all of them); it
+    only changes which XLA:TPU vector width the reduction runs at. Measured
+    on v5e at 8x8/1080p/K=32/steps=32: u8 480 ms exact (i16/bf16 820, f32
+    1669; fast path insensitive) -- XLA:TPU legalizes u8 min/max at full
+    density (unlike Mosaic, where sub-32-bit min/max/compare all fail), so
+    the u8 default is already optimal.
 
     When `pad` is given (a static upper bound on |shift|+radius, see
     `shift_pad_bound`), the view stack is edge-padded ONCE and every
@@ -186,20 +198,25 @@ def estimate_focus_map(
                 lambda img, sy, sx: shift_clamped(img, sy, sx, pad_y=ry, pad_x=rx)
             )(selected, dyi, dxi)
 
+    tdt = {
+        "u8": jnp.uint8, "i16": jnp.int16,
+        "bf16": jnp.bfloat16, "f32": jnp.float32,
+    }[tap_dtype]
+
     def minmax_views(shifted):
         """min AND max over the view axis in ONE pass over the data (two
         separate reduces would each re-read -- or re-compute -- the shifted
         stack; measured 1.66x on the fast path)."""
         return lax.reduce(
             (shifted, shifted),
-            (jnp.uint8(255), jnp.uint8(0)),
+            (jnp.asarray(255, shifted.dtype), jnp.asarray(0, shifted.dtype)),
             lambda a, b: (jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])),
             [0],
         )
 
     def cost_fast(fxi, fyi):
         """Hoisted min/max: taps are slices of one per-candidate cheby map."""
-        shifted = shift_views(fyi, fxi)  # [K, C, h_out+2ry, W+2rx] uint8
+        shifted = shift_views(fyi, fxi).astype(tdt)
         mn, mx = minmax_views(shifted)
         # Costs fit i16 (<= 9 cells * 255): halves accumulator traffic.
         cheby = jnp.max(
@@ -213,7 +230,7 @@ def estimate_focus_map(
     def cost_exact(fxi, fyi):
         """Oracle-exact: per-cell min/max, truncation evaluated at the CENTER
         pixel with the oracle's own rounded-f32 expression (trunc_offsets)."""
-        sup = supersets(fyi, fxi)  # [K, C, h_out+2ry+2, w+2rx+2], origin -1
+        sup = supersets(fyi, fxi).astype(tdt)  # [K,C,h+2ry+2,w+2rx+2], origin -1
         qy = lax.broadcasted_iota(jnp.int32, (h_out, 1), 0) + row_start
         qx = lax.broadcasted_iota(jnp.int32, (1, w), 1)
         # d in {-1,0,1} per (view, center row/col): [K, 1, h_out, 1] / [K, 1, 1, w]
