@@ -147,3 +147,58 @@ def test_pallas_kernel_random_config(seed, rng, monkeypatch):
     )
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1, f"seed={seed} cfg={(cols, rows, h, w, v, focus)}"
+
+
+@pytest.mark.parametrize("seed", CASES[:6])
+def test_allfocus_kernel_random_config(seed, rng, monkeypatch):
+    """Fused allFocus kernel vs the XLA quantized path on random
+    kernel-supported geometries (interpret mode)."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    from lfinterpolator_tpu.ops import allfocus_pallas
+
+    r = np.random.default_rng(seed + 500)
+    g = int(r.integers(2, 7))
+    h = int(r.integers(17, 90))
+    w = int(r.integers(128, 300))
+    steps = int(r.choice([4, 8, 16]))
+    v = int(r.choice([1, 4, 8]))
+    focus = float(r.uniform(-0.4, 0.4))
+    frange = float(r.uniform(0.05, 0.6))
+    oamp = float(r.uniform(5.0, 120.0))
+    images = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+    weights = jnp.asarray(
+        (np.abs(rng.normal(size=(v, g))) / g).astype(np.float32)
+    )
+    offsets = jnp.asarray(rng.uniform(-oamp, oamp, (g, 2)).astype(np.float32))
+    levels, f_levels = blend_xla.quantized_levels(
+        jnp.float32(focus), jnp.float32(frange), steps
+    )
+    fmap = jnp.asarray(np.asarray(levels)[rng.integers(0, steps, (h, w))])
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    if not allfocus_pallas.supports(h, w, spread):
+        pytest.skip(f"unsupported geometry seed={seed}")
+    mx = max(abs(focus), abs(focus + frange)) * float(
+        np.abs(np.asarray(offsets)[:, 0]).max()
+    )
+    my = max(abs(focus), abs(focus + frange)) * float(
+        np.abs(np.asarray(offsets)[:, 1]).max()
+    )
+    px, py = int(np.ceil(mx)) + 8, int(np.ceil(my)) + 8
+    want = np.asarray(
+        blend_xla.render_allfocus_quantized(
+            images, weights, offsets, fmap,
+            jnp.float32(focus), jnp.float32(frange),
+            steps=steps, pad=(px, py),
+        )
+    )
+    got = np.asarray(
+        allfocus_pallas.render_allfocus_tiled(
+            images, weights, fmap, levels,
+            f_levels[:, None] * offsets[None, :, 1],
+            f_levels[:, None] * offsets[None, :, 0],
+            spread=spread, px=px,
+        )
+    )
+    np.testing.assert_array_equal(
+        got, want, err_msg=f"seed={seed} cfg={(g, h, w, steps, focus, frange)}"
+    )
