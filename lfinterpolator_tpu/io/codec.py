@@ -63,6 +63,17 @@ def _load_native():
             ]
             lib.lfi_free.restype = None
             lib.lfi_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+            lib.lfi_decode_batch_rgba.restype = ctypes.c_int
+            lib.lfi_decode_batch_rgba.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
             _native_lib = lib
         except (OSError, AttributeError):
             # unloadable library, or a stale/unrelated .so missing the
@@ -101,6 +112,51 @@ def decode(path: str) -> np.ndarray:
                     lib.lfi_free(buf)
             # fall through to Pillow on native decode failure
     return _decode_pil(path)
+
+
+def decode_batch(
+    paths: list[str], out: np.ndarray, threads: int | None = None
+) -> bool:
+    """Decode many same-resolution files into a preallocated RGBA8 stack.
+
+    `out` is [N, H, W, 4] uint8, C-contiguous; every file must decode to
+    (H, W) (mirrors the reference loader's bulk ingest, src/lfLoader.cpp:59-66,
+    but parallel over a native std::thread pool with one decode pass and no
+    per-image Python round-trip). Returns False when the native codec is
+    unavailable (caller falls back to per-image decode); raises on any
+    decode failure or resolution mismatch.
+    """
+    lib = _load_native()
+    if lib is None:  # _load_native validated all symbols incl. the batch one
+        return False
+    n, h, w, c = out.shape
+    if n != len(paths) or c != 4 or out.dtype != np.uint8:
+        raise ValueError(f"decode_batch needs [len(paths), H, W, 4] u8 out, "
+                         f"got {out.shape} {out.dtype}")
+    if not out.flags["C_CONTIGUOUS"]:
+        raise ValueError("decode_batch needs a C-contiguous output stack")
+    if threads is None:
+        threads = min(16, os.cpu_count() or 4)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    err_i = ctypes.c_int(-1)
+    err_c = ctypes.c_int(0)
+    rc = lib.lfi_decode_batch_rgba(
+        arr, n, w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        threads, ctypes.byref(err_i), ctypes.byref(err_c),
+    )
+    if rc != 0:
+        bad = paths[err_i.value] if 0 <= err_i.value < n else "?"
+        if err_c.value == -1:
+            raise ValueError(
+                f"Image {bad} has a different resolution than the first "
+                f"image (expected {w}x{h})"
+            )
+        raise RuntimeError(
+            f"Cannot load image {bad} (native codec error {err_c.value}; "
+            f"{rc} file(s) failed)"
+        )
+    return True
 
 
 def _decode_pil(path: str) -> np.ndarray:

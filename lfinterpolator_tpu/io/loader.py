@@ -146,6 +146,23 @@ def load_light_field(
     bar.add()
     h, w = first.shape[:2]
     images = np.empty((cols * rows, h, w, 4), dtype=np.uint8)
+
+    # Fast path: one native threaded batch decode straight into the stack
+    # (the reference loader's bulk ingest loop, src/lfLoader.cpp:59-66, as a
+    # C++ thread pool -- no per-image Python round-trips). Restricted to the
+    # formats the native codec handles; a decode failure falls back to the
+    # per-image path, which can still rescue odd files via Pillow.
+    slot_paths = [files[(c, r)] for c in range(cols) for r in range(rows)]
+    exts = {os.path.splitext(p)[1].lower() for p in slot_paths}
+    if exts <= {".png", ".jpg", ".jpeg"}:
+        try:
+            if codec.decode_batch(slot_paths, images, threads=workers):
+                bar.add(len(files) - 1)
+                bar.finish()
+                return LightField(images=images, cols=cols, rows=rows)
+        except RuntimeError:
+            pass  # per-image path below (Pillow fallback per file)
+
     images[0] = first
     del first
 

@@ -13,6 +13,10 @@
 #include <cstring>
 #include <csetjmp>
 
+#include <atomic>
+#include <thread>
+#include <vector>
+
 #include <jpeglib.h>  // needs <cstddef>/<cstdio> first (size_t, FILE)
 #include <png.h>
 
@@ -223,5 +227,71 @@ int lfi_decode_jpeg_rgba(const char *path, int *width, int *height,
 }
 
 void lfi_free(unsigned char *p) { std::free(p); }
+
+// Decode `n` files (PNG or JPEG, sniffed by signature) into a caller-owned
+// contiguous RGBA8 stack `out` of n*height*width*4 bytes -- the native
+// equivalent of the reference loader's bulk ingest loop
+// (reference: src/lfLoader.cpp:59-66), parallel over a std::thread pool.
+// Every image must decode to exactly (width, height). Returns 0 on success;
+// otherwise the number of failures, with the first failing file's index in
+// *err_index and its codec error in *err_code (-1 = resolution mismatch,
+// -2 = unreadable/unknown signature).
+int lfi_decode_batch_rgba(const char *const *paths, int n, int width,
+                          int height, unsigned char *out, int threads,
+                          int *err_index, int *err_code) {
+    if (n <= 0 || width <= 0 || height <= 0 || !out) return 1;
+    std::atomic<int> next(0), failures(0);
+    // lowest failing index + its code, packed so the pair updates atomically
+    std::atomic<long long> first_fail(-1);
+    const size_t frame = (size_t)width * height * 4;
+
+    auto record = [&](int i, int code) {
+        failures.fetch_add(1);
+        const long long packed =
+            ((long long)i << 32) | (unsigned int)code;
+        long long cur = first_fail.load();
+        while ((cur == -1 || i < (int)(cur >> 32)) &&
+               !first_fail.compare_exchange_weak(cur, packed)) {
+        }
+    };
+
+    auto worker = [&]() {
+        for (;;) {
+            const int i = next.fetch_add(1);
+            if (i >= n) return;
+            unsigned char sig[2] = {0, 0};
+            FILE *fp = std::fopen(paths[i], "rb");
+            if (!fp) { record(i, -2); continue; }
+            const size_t got = std::fread(sig, 1, 2, fp);
+            std::fclose(fp);
+            int w = 0, h = 0, rc;
+            unsigned char *buf = nullptr;
+            if (got == 2 && sig[0] == 0x89 && sig[1] == 'P')
+                rc = lfi_decode_png_rgba(paths[i], &w, &h, &buf);
+            else if (got == 2 && sig[0] == 0xFF && sig[1] == 0xD8)
+                rc = lfi_decode_jpeg_rgba(paths[i], &w, &h, &buf);
+            else { record(i, -2); continue; }
+            if (rc != 0) { record(i, rc); continue; }
+            if (w != width || h != height) {
+                std::free(buf);
+                record(i, -1);
+                continue;
+            }
+            std::memcpy(out + (size_t)i * frame, buf, frame);
+            std::free(buf);
+        }
+    };
+
+    int nt = threads < 1 ? 1 : threads;
+    if (nt > n) nt = n;
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+    for (auto &th : pool) th.join();
+    const long long ff = first_fail.load();
+    if (err_index) *err_index = ff == -1 ? -1 : (int)(ff >> 32);
+    if (err_code) *err_code = ff == -1 ? 0 : (int)(ff & 0xffffffff);
+    return failures.load();
+}
 
 }  // extern "C"

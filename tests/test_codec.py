@@ -86,3 +86,49 @@ class TestNative:
             f.write(b"definitely not a jpeg")
         with pytest.raises(RuntimeError, match="Cannot load image"):
             codec.decode(bad)
+
+    def test_decode_batch_matches_per_image(self, tmp_path, rng):
+        from PIL import Image
+
+        if not codec.native_available():
+            pytest.skip("native codec not built")
+        paths = []
+        want = []
+        for i in range(6):
+            img = rng.integers(0, 256, (24, 40, 4), dtype=np.uint8)
+            img[:, :, 3] = 255
+            p = str(tmp_path / f"{i:02d}_00.png")
+            if i % 2:  # mix formats: JPEG decode must agree with decode()
+                p = str(tmp_path / f"{i:02d}_00.jpg")
+                Image.fromarray(img[:, :, :3]).save(p, quality=95)
+            else:
+                codec.encode_png(p, img)
+            paths.append(p)
+            want.append(codec.decode(p))
+        out = np.empty((6, 24, 40, 4), dtype=np.uint8)
+        assert codec.decode_batch(paths, out, threads=3)
+        np.testing.assert_array_equal(out, np.stack(want))
+
+    def test_decode_batch_resolution_mismatch(self, tmp_path, rng):
+        if not codec.native_available():
+            pytest.skip("native codec not built")
+        a = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+        b = rng.integers(0, 256, (16, 24, 4), dtype=np.uint8)
+        pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+        codec.encode_png(pa, a)
+        codec.encode_png(pb, b)
+        out = np.empty((2, 16, 16, 4), dtype=np.uint8)
+        with pytest.raises(ValueError, match="different resolution"):
+            codec.decode_batch([pa, pb], out)
+
+    def test_decode_batch_bad_file(self, tmp_path, rng):
+        if not codec.native_available():
+            pytest.skip("native codec not built")
+        good = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+        pg, pbad = str(tmp_path / "g.png"), str(tmp_path / "bad.png")
+        codec.encode_png(pg, good)
+        with open(pbad, "wb") as f:
+            f.write(b"junk")
+        out = np.empty((2, 16, 16, 4), dtype=np.uint8)
+        with pytest.raises(RuntimeError, match="Cannot load image"):
+            codec.decode_batch([pg, pbad], out)
