@@ -77,10 +77,13 @@ def render_all_focus(
     allFocus kernel instead of the XLA per-level scan.
 
     The per-pixel blend keeps the reference's map asymmetry
-    (src/kernels.cu:326 vs :430): STD blends with the FILTERED map -- whose
-    bytes are arbitrary, so it needs the exact gather path -- while the
-    tensor-path equivalent blends with the RAW estimator map, whose bytes are
-    level-quantized, unlocking the ~25x faster constant-shift select path.
+    (src/kernels.cu:326 vs :430): STD blends with the FILTERED map, whose
+    bytes are arbitrary (a 256-byte-level select, absent bytes skipped at
+    runtime), while the tensor-path equivalent blends with the RAW estimator
+    map, whose bytes are level-quantized (at most `steps` select levels).
+    With `spread` given and a TPU available BOTH run through the fused
+    Pallas allFocus kernel; otherwise the XLA select scan (or, without
+    `pad`, the general gather path for STD).
 
     Returns (views [V, C, H, W] uint8, maps [2, H, W] uint8).
     """
@@ -91,10 +94,23 @@ def render_all_focus(
         steps=steps, pad=pad, exact_taps=exact_taps,
     )
     map1 = focus_ops.filter_focus_map(map0, filter_radius)
+    g, c, h, w = images.shape
+    from ..ops import allfocus_pallas
+
+    use_kernel = (
+        spread is not None
+        and blend_pallas.is_available()
+        and allfocus_pallas.supports(h, w, spread)
+    )
     if method == "STD":
         # The filtered map has arbitrary bytes; the 256-byte-level scan is
         # exact for any map and skips absent bytes at runtime (the general
-        # gather fallback is ~5-25x slower on TPU).
+        # gather fallback is ~5-25x slower on TPU). The fused kernel also
+        # handles 256 levels (blend_xla.byte_levels) and is bit-identical,
+        # but measured SLOWER here: filtered maps have ~100 distinct bytes
+        # per band, and the kernel's per-level VPU cost (~2x the XLA scan's
+        # fused slice+select) only pays off at the TEN path's <= `steps`
+        # levels (519 vs 156 ms at 8x8/1080p on a dense-byte map).
         if pad is not None:
             views = blend_xla.render_allfocus_quantized(
                 images, weights, offsets, map1, focus, focus_range,
@@ -105,14 +121,7 @@ def render_all_focus(
                 images, weights, offsets, map1, focus, focus_range
             )
     else:
-        g, c, h, w = images.shape
-        from ..ops import allfocus_pallas
-
-        if (
-            spread is not None
-            and blend_pallas.is_available()
-            and allfocus_pallas.supports(h, w, spread)
-        ):
+        if use_kernel:
             levels, f_levels = blend_xla.quantized_levels(
                 focus, focus_range, steps
             )

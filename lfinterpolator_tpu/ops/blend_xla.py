@@ -297,6 +297,23 @@ def quantized_levels(
     return levels, f_levels
 
 
+def byte_levels(
+    focus: jnp.ndarray, focus_range: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(all 256 byte values, their decoded focus values).
+
+    The level set for maps with ARBITRARY bytes (e.g. the box-filtered map
+    the STD method reads, src/kernels.cu:326); decode per loadFocusFromMap
+    (src/kernels.cu:134-137)."""
+    focus = jnp.asarray(focus, jnp.float32)
+    focus_range = jnp.asarray(focus_range, jnp.float32)
+    levels = jnp.arange(256, dtype=jnp.uint8)
+    f_levels = focus + no_fma(
+        div_exact(levels.astype(jnp.float32), jnp.float32(255)) * focus_range
+    )
+    return levels, f_levels
+
+
 def render_allfocus_quantized(
     images: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32
@@ -338,10 +355,7 @@ def render_allfocus_quantized(
     focus = jnp.asarray(focus, jnp.float32)
     focus_range = jnp.asarray(focus_range, jnp.float32)
     if all_bytes:
-        levels = jnp.arange(256, dtype=jnp.uint8)
-        f_levels = focus + no_fma(
-            div_exact(levels.astype(jnp.float32), jnp.float32(255)) * focus_range
-        )
+        levels, f_levels = byte_levels(focus, focus_range)
     else:
         levels, f_levels = quantized_levels(focus, focus_range, steps)
     # True fractional per-level, per-image shifts (trunc applied per pixel by

@@ -115,6 +115,88 @@ def test_pipeline_ten_uses_kernel_and_matches(rng):
     np.testing.assert_array_equal(np.asarray(views_ker), np.asarray(views_ref))
 
 
+def test_arbitrary_byte_map_256_levels_matches_xla(rng):
+    """The kernel generalizes to arbitrary-byte maps via the full 256-byte
+    level set (blend_xla.byte_levels) and must equal the XLA all_bytes scan
+    bit-for-bit. (The pipeline keeps STD on the XLA scan -- measured faster
+    for dense-byte filtered maps -- but the kernel's generality is part of
+    its contract.)"""
+    g, h, w = 5, 64, 256
+    focus, frange = 0.1, 0.4
+    images = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+    weights = jnp.asarray(
+        (np.abs(rng.normal(size=(8, g))) / g).astype(np.float32)
+    )
+    offsets = jnp.asarray(rng.uniform(-50, 50, (g, 2)).astype(np.float32))
+    fmap = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    levels, f_levels = blend_xla.byte_levels(
+        jnp.float32(focus), jnp.float32(frange)
+    )
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    assert allfocus_pallas.supports(h, w, spread)
+    mx = max(abs(focus), abs(focus + frange)) * float(
+        np.abs(np.asarray(offsets)[:, 0]).max()
+    )
+    my = max(abs(focus), abs(focus + frange)) * float(
+        np.abs(np.asarray(offsets)[:, 1]).max()
+    )
+    want = np.asarray(
+        blend_xla.render_allfocus_quantized(
+            images, weights, offsets, fmap,
+            jnp.float32(focus), jnp.float32(frange), steps=32,
+            pad=(int(np.ceil(mx)) + 8, int(np.ceil(my)) + 8), all_bytes=True,
+        )
+    )
+    got = np.asarray(
+        allfocus_pallas.render_allfocus_tiled(
+            images, weights, fmap, levels,
+            f_levels[:, None] * offsets[None, :, 1],
+            f_levels[:, None] * offsets[None, :, 0],
+            spread=spread, px=int(np.ceil(mx)) + 8,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_std_ignores_spread(rng):
+    """STD stays on the XLA 256-byte scan (the kernel measured slower for
+    dense-byte filtered maps); spread= must be accepted and change nothing."""
+    g_cols = g_rows = 4
+    h, w, steps = 64, 256, 32
+    focus, frange = 0.05, 0.2
+    g = g_cols * g_rows
+    images = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+    se = np.array([0.0, 0.0, 3.0, 3.0], np.float32)
+    weights = jnp.asarray(
+        geometry.quantize_weights_f16(
+            geometry.weight_matrix(se, g_cols, g_rows, 3.0, 8)
+        ).astype(np.float32)
+    )
+    offsets = jnp.asarray(
+        geometry.compute_offsets(
+            g_cols, g_rows, w, h, 1.0, geometry.trajectory_center(se)
+        )
+    )
+    ids = jnp.asarray(geometry.select_focus_views(se, g_cols, g_rows, g))
+    radius = geometry.block_radius(w, h)
+    pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    kwargs = dict(
+        method="STD", radius=radius, filter_radius=(2, 2),
+        steps=steps, pad=pad,
+    )
+    views_ref, maps_ref = pipeline.render_all_focus(
+        images, weights, offsets, jnp.float32(focus), jnp.float32(frange),
+        ids, **kwargs,
+    )
+    views_ker, maps_ker = pipeline.render_all_focus(
+        images, weights, offsets, jnp.float32(focus), jnp.float32(frange),
+        ids, spread=spread, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(maps_ker), np.asarray(maps_ref))
+    np.testing.assert_array_equal(np.asarray(views_ker), np.asarray(views_ref))
+
+
 def test_unsupported_geometry_falls_back():
     assert not allfocus_pallas.supports(12, 256, 64)  # too short
     assert not allfocus_pallas.supports(64, 100, 64)  # w < 128
