@@ -63,17 +63,24 @@ def _load_native():
             ]
             lib.lfi_free.restype = None
             lib.lfi_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
-            lib.lfi_decode_batch_rgba.restype = ctypes.c_int
-            lib.lfi_decode_batch_rgba.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_ubyte),
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_int),
-            ]
+            # The batch symbol is newer than the rest: probe it separately
+            # so a stale pre-batch .so keeps its per-image fast paths and
+            # only decode_batch degrades (returns False -> caller fallback).
+            try:
+                lib.lfi_decode_batch_rgba.restype = ctypes.c_int
+                lib.lfi_decode_batch_rgba.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib._lfi_has_batch = True
+            except AttributeError:
+                lib._lfi_has_batch = False
             _native_lib = lib
         except (OSError, AttributeError):
             # unloadable library, or a stale/unrelated .so missing the
@@ -127,7 +134,7 @@ def decode_batch(
     decode failure or resolution mismatch.
     """
     lib = _load_native()
-    if lib is None:  # _load_native validated all symbols incl. the batch one
+    if lib is None or not lib._lfi_has_batch:
         return False
     n, h, w, c = out.shape
     if n != len(paths) or c != 4 or out.dtype != np.uint8:
@@ -135,6 +142,8 @@ def decode_batch(
                          f"got {out.shape} {out.dtype}")
     if not out.flags["C_CONTIGUOUS"]:
         raise ValueError("decode_batch needs a C-contiguous output stack")
+    if n == 0:
+        return True
     if threads is None:
         threads = min(16, os.cpu_count() or 4)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
@@ -146,7 +155,11 @@ def decode_batch(
         threads, ctypes.byref(err_i), ctypes.byref(err_c),
     )
     if rc != 0:
-        bad = paths[err_i.value] if 0 <= err_i.value < n else "?"
+        if err_i.value < 0:
+            raise RuntimeError(
+                f"decode_batch rejected its arguments (code {err_c.value})"
+            )
+        bad = paths[err_i.value] if err_i.value < n else "?"
         if err_c.value == -1:
             raise ValueError(
                 f"Image {bad} has a different resolution than the first "

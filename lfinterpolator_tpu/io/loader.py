@@ -156,7 +156,10 @@ def load_light_field(
     exts = {os.path.splitext(p)[1].lower() for p in slot_paths}
     if exts <= {".png", ".jpg", ".jpeg"}:
         try:
-            if codec.decode_batch(slot_paths, images, threads=workers):
+            # slot 0 (= (0,0): the probe above) is already decoded; the
+            # [1:] view of the C-contiguous stack is itself contiguous
+            if codec.decode_batch(slot_paths[1:], images[1:], threads=workers):
+                images[0] = first
                 bar.add(len(files) - 1)
                 bar.finish()
                 return LightField(images=images, cols=cols, rows=rows)

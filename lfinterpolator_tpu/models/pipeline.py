@@ -122,14 +122,9 @@ def render_all_focus(
             )
     else:
         if use_kernel:
-            levels, f_levels = blend_xla.quantized_levels(
-                focus, focus_range, steps
-            )
-            views = allfocus_pallas.render_allfocus_tiled(
-                images, weights, map0, levels,
-                f_levels[:, None] * offsets[None, :, 1],
-                f_levels[:, None] * offsets[None, :, 0],
-                spread=spread,
+            views = allfocus_pallas.render_allfocus_quantized_fused(
+                images, weights, offsets, map0, focus, focus_range,
+                steps=steps, spread=spread,
                 px=pad[0] if pad is not None else max(w, 1),
             )
         else:

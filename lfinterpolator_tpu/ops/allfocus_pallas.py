@@ -376,6 +376,36 @@ def allfocus_select_tiled(
     return out.reshape(g, c * hl8 * w128)
 
 
+def render_allfocus_quantized_fused(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    focus_map: jnp.ndarray,  # [row_count or H, W] uint8 (raw, quantized)
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    steps: int,
+    spread: int,
+    px: int,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
+) -> jnp.ndarray:
+    """The fused-kernel drop-in for blend_xla.render_allfocus_quantized on
+    raw (level-quantized) maps: derives the level set and the per-level
+    fractional shifts with the shared exact expressions, then renders
+    through the kernel. The single dispatch point for both the single-chip
+    pipeline and the sharded mesh path."""
+    from . import blend_xla
+
+    levels, f_levels = blend_xla.quantized_levels(focus, focus_range, steps)
+    return render_allfocus_tiled(
+        images, weights, focus_map, levels,
+        f_levels[:, None] * offsets[None, :, 1],
+        f_levels[:, None] * offsets[None, :, 0],
+        spread=spread, px=px, row_start=row_start, row_count=row_count,
+    )
+
+
 def render_allfocus_tiled(
     images: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32

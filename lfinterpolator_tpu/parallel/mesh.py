@@ -224,14 +224,9 @@ def render_all_focus_sharded(
             ):
                 # fused allFocus kernel per shard: the kernel reads the
                 # full replicated stack but emits only this shard's rows
-                levels, f_levels = blend_xla.quantized_levels(
-                    focus, focus_range, steps
-                )
-                views_l = allfocus_pallas.render_allfocus_tiled(
-                    images_l, weights_l, map0_l, levels,
-                    f_levels[:, None] * offsets_l[None, :, 1],
-                    f_levels[:, None] * offsets_l[None, :, 0],
-                    spread=spread, px=pad[0],
+                views_l = allfocus_pallas.render_allfocus_quantized_fused(
+                    images_l, weights_l, offsets_l, map0_l, focus,
+                    focus_range, steps=steps, spread=spread, px=pad[0],
                     row_start=row0, row_count=h_local,
                 )
             else:

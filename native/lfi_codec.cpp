@@ -239,7 +239,13 @@ void lfi_free(unsigned char *p) { std::free(p); }
 int lfi_decode_batch_rgba(const char *const *paths, int n, int width,
                           int height, unsigned char *out, int threads,
                           int *err_index, int *err_code) {
-    if (n <= 0 || width <= 0 || height <= 0 || !out) return 1;
+    if (err_index) *err_index = -1;
+    if (err_code) *err_code = 0;
+    if (n == 0) return 0;
+    if (n < 0 || width <= 0 || height <= 0 || !out) {
+        if (err_code) *err_code = -3;  // invalid arguments, no file examined
+        return 1;
+    }
     std::atomic<int> next(0), failures(0);
     // lowest failing index + its code, packed so the pair updates atomically
     std::atomic<long long> first_fail(-1);
