@@ -199,3 +199,15 @@ def test_interpolate_batch_mixed_centers_matches_individual(scene_dir):
     for t, res in zip(trajs, batch):
         solo = interp.interpolate(t, focus=0.3, progress=False)
         np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
+
+
+def test_loader_single_image_grid(tmp_path, rng):
+    """A 1x1 grid exercises the batch path's empty-remainder call."""
+    d = tmp_path / "single"
+    d.mkdir()
+    img = rng.integers(0, 256, (16, 24, 4), dtype=np.uint8)
+    img[:, :, 3] = 255
+    codec.encode_png(str(d / "00_00.png"), img)
+    lf = loader.load_light_field(str(d), progress=False)
+    assert (lf.cols, lf.rows) == (1, 1)
+    np.testing.assert_array_equal(lf.images[0], img)
