@@ -279,7 +279,9 @@ def bench_c5():
     offsets = geometry.compute_offsets(
         cols, rows, w, h, 1.0, geometry.trajectory_center(start_end)
     )
-    runs = max(4, RUNS // 8)
+    # enough runs that the one ~30 ms relay round-trip of the final tiny
+    # fetch amortizes below ~2 ms/frame (6 runs inflated 27.7 -> 35 ms)
+    runs = max(16, RUNS // 3)
     foci = [0.25 + 0.002 * i for i in range(runs + WARMUP + 1)]
     fos = [jnp.asarray(geometry.focused_offsets(offsets, f)) for f in foci]
     px, py = blend_pallas.shift_bound(offsets, (min(foci), max(foci)), h, w)
