@@ -84,22 +84,24 @@ def shift_bound(
 
 
 def pad_images(images: jnp.ndarray, px: int, py: int) -> jnp.ndarray:
-    """Edge-replicate pad [G, C, H, W] -> [G, C, H+2py+8, W+2px+128].
+    """Edge-replicate pad [G, C, H, W] -> [G, C, H+2py+16, W+2px+256].
 
     The (px, py) sides encode the clamp for shifts up to the bound; the
     extra bottom/right tail covers the alignment overhang of the shifted
-    window (rows to 8, lanes to 128). Built once per light field (per frame
-    when streaming). Implemented as explicit broadcast+concat: bit-identical
-    to jnp.pad(mode="edge") but ~2x faster on TPU, where XLA lowers edge
-    padding through a slow gather-style fill.
+    window (rows to 8, lanes to 128) PLUS the tile-aligned DMA window of
+    the Pallas padded-shift kernel (a floor8/floor128 start needs up to 8
+    extra rows / 128 extra lanes beyond the overhang). Built once per light
+    field (per frame when streaming). Implemented as explicit
+    broadcast+concat: bit-identical to jnp.pad(mode="edge") but ~2x faster
+    on TPU, where XLA lowers edge padding through a slow gather-style fill.
     """
     g, c, h, w = images.shape
     top = jnp.broadcast_to(images[:, :, :1, :], (g, c, py, w))
-    bot = jnp.broadcast_to(images[:, :, h - 1 :, :], (g, c, py + 8, w))
+    bot = jnp.broadcast_to(images[:, :, h - 1 :, :], (g, c, py + 16, w))
     x = jnp.concatenate([top, images, bot], axis=2)
-    hp = h + 2 * py + 8
+    hp = h + 2 * py + 16
     left = jnp.broadcast_to(x[:, :, :, :1], (g, c, hp, px))
-    right = jnp.broadcast_to(x[:, :, :, w - 1 : w], (g, c, hp, px + 128))
+    right = jnp.broadcast_to(x[:, :, :, w - 1 : w], (g, c, hp, px + 256))
     return jnp.concatenate([left, x, right], axis=3)
 
 
@@ -224,10 +226,21 @@ def render_fixed_padded(
     h_out = h if row_count is None else int(row_count)
     h_al = _align(h_out, 8)
     w_al = _align(w, 128)
-    flat = preshift_flat(
-        padded, focused_offsets, px=px, py=py, h=h, w=w,
-        row_start=row_start, row_count=h_out,
-    )
+    from . import shift_pallas
+
+    if is_available() and shift_pallas.supports_padded(h, w):
+        # borderless Pallas shift: ~2.4 ms vs the XLA unaligned
+        # dynamic-slice's 2.9 ms at the headline config (see
+        # shift_flat_padded); bit-identical
+        flat = shift_pallas.shift_flat_padded(
+            padded, focused_offsets, px=px, py=py, h=h, w=w,
+            row_start=row_start, row_count=h_out,
+        )
+    else:
+        flat = preshift_flat(
+            padded, focused_offsets, px=px, py=py, h=h, w=w,
+            row_start=row_start, row_count=h_out,
+        )
     out = blend_flat(flat, weights).reshape(v, c, h_al, w_al)
     if (h_al, w_al) != (h_out, w):
         out = out[:, :, :h_out, :w]

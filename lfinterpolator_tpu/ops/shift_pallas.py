@@ -238,6 +238,152 @@ def shift_flat_tiled(
     return out.reshape(g, c * h8 * w128)
 
 
+def _pshift_kernel(
+    dyx_ref,  # SMEM [G, 2] int32 (dx, dy), pre-clipped to (+-px, +-py)
+    rs_ref,  # SMEM [1] int32: global row of the output block's first row
+    pad_ref,  # HBM [G, C, Hp, Wp] uint8 (blend_pallas.pad_images)
+    out_ref,  # VMEM block [1, 1, TB, W128] uint8
+    scratch,  # VMEM [2, TB+8, W128+128] uint8
+    sems,  # DMA semaphores [2]
+    *,
+    tb: int,
+    px: int,
+    py: int,
+):
+    grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
+    w128 = out_ref.shape[3]
+    s_lanes = w128 + 128
+    n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
+    total = grid[0] * grid[1] * grid[2]
+
+    def starts(g, rb):
+        # tile-aligned window start; in-bounds for any clipped shift by
+        # pad_images' +16-row/+256-lane tails
+        s0 = (py + dyx_ref[g, 1] + rs_ref[0] + rb * tb) // 8 * 8
+        l0 = (px + dyx_ref[g, 0]) // 128 * 128
+        return s0, l0
+
+    def copy_for(step):
+        rb = step % grid[2]
+        c = (step // grid[2]) % grid[1]
+        g = step // (grid[1] * grid[2])
+        s0, l0 = starts(g, rb)
+        return pltpu.make_async_copy(
+            pad_ref.at[g, c, pl.ds(s0, tb + 8), pl.ds(l0, s_lanes)],
+            scratch.at[step % 2],
+            sems.at[step % 2],
+        )
+
+    @pl.when(n == 0)
+    def _():
+        copy_for(0).start()
+
+    @pl.when(n + 1 < total)
+    def _():
+        copy_for(n + 1).start()
+
+    copy_for(n).wait()
+
+    g = pl.program_id(0)
+    rb = pl.program_id(2)
+    s0, l0 = starts(g, rb)
+    r_res = (py + dyx_ref[g, 1] + rs_ref[0] + rb * tb) - s0  # [0, 8)
+    l_res = (px + dyx_ref[g, 0]) - l0  # [0, 128)
+
+    # Borderless (the padded stack already encodes the clamp), and all in
+    # the SUBLANE-PACKED u32 view: bitcast packs 4 consecutive rows per
+    # lane with row 0 in the LSB (verified on v5e AND in interpret mode),
+    # so a lane roll moves whole byte-columns and the sub-4-row residual is
+    # a pair of 32-bit shifts -- every op touches 1/4 the bytes of the
+    # widened-i32 formulation.
+    A = pltpu.bitcast(scratch[n % 2, :, :], jnp.uint32)  # [(tb+8)/4, S]
+    R = (tb + 8) // 4
+    q = r_res // 4
+    rr = r_res - 4 * q
+    z0 = pltpu.roll(A, (R - q % R) % R, 0)  # z0[k] = A[k+q]
+    z1 = pltpu.roll(A, (R - (q + 1) % R) % R, 0)  # A[k+q+1]
+    sh = 8 * rr
+    shl = (32 - sh) % 32  # avoid an UB shift-by-32 when rr == 0
+    mix = jax.lax.shift_right_logical(z0, sh.astype(jnp.uint32)) | jax.lax.shift_left(
+        z1, shl.astype(jnp.uint32)
+    )
+    z = jnp.where(rr == 0, z0, mix)[0 : tb // 4, :]
+    z = pltpu.roll(z, (s_lanes - l_res % s_lanes) % s_lanes, 1)
+    out_ref[0, 0, :, :] = pltpu.bitcast(z[:, 0:w128], jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "px", "py", "row_count")
+)
+def shift_flat_padded(
+    padded: jnp.ndarray,  # [G, C, H+2py+16, W+2px+256] uint8 (pad_images)
+    focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy), traced
+    *,
+    h: int,
+    w: int,
+    px: int,
+    py: int,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
+) -> jnp.ndarray:
+    """Clamp-shift from a pre-padded stack -> flat [G, C*H8*W128] uint8.
+
+    Bit-identical to blend_pallas.preshift_flat, but runs as a Pallas
+    kernel: one tile-aligned window DMA per (image, channel, band) plus two
+    residual rolls in the sublane-packed u32 view -- no border work at all
+    (the pad encodes the clamp). Measured 2.19 ms true at 8x8/1080p/64v
+    (widened-i32 rolls: 3.0; the XLA unaligned dynamic-slice: ~2.75;
+    aligned-copy floor: ~1.2 at the chip's ~670 GB/s). The remaining
+    end-to-end gap is an XLA-inserted ~1.2 ms relayout copy between this
+    kernel's [g,c,h8,w128] output tiling (image rows on sublanes) and the
+    blend's [g, L] operand tiling (8 images per sublane tile) -- Mosaic
+    cannot emit the merged layout directly (in-kernel sublane-to-lane
+    reshape stores crash the compiler).
+    """
+    g, c = padded.shape[:2]
+    h_out = h if row_count is None else int(row_count)
+    h8, w128 = _align(h_out, 8), _align(w, 128)
+    tb = _pick_tb(h8, w128 + 128)
+    dyx = jnp.stack(
+        [
+            jnp.clip(focused_offsets[:, 0], -px, px),
+            jnp.clip(focused_offsets[:, 1], -py, py),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    rs = jnp.asarray(row_start, jnp.int32).reshape(1)
+    kernel = functools.partial(_pshift_kernel, tb=tb, px=px, py=py)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, c, h8 // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tb, w128), lambda gg, cc, rr: (gg, cc, rr, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, c, h8, w128), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb + 8, w128 + 128), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=2 * g * c * h8 * w128, transcendentals=0
+        ),
+        interpret=_interpret(),
+    )(dyx, rs, padded)
+    return out.reshape(g, c * h8 * w128)
+
+
+def supports_padded(h: int, w: int) -> bool:
+    """Whether the padded-shift kernel handles this geometry."""
+    w128 = _align(w, 128)
+    return w128 + 128 <= 8 * 3968 and _align(h, 8) >= 8
+
+
 def supports(h: int, w: int) -> bool:
     """Whether the fused shift kernel handles this geometry (else callers
     use the XLA pad+slice path)."""

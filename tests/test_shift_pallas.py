@@ -89,3 +89,50 @@ def test_supports_gates_degenerate():
     assert not shift_pallas.supports(8, 128)  # too short for a band + slack
     assert shift_pallas.supports(1080, 1920)
     assert shift_pallas.supports(2160, 3840)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"pad_g{c[0]}c{c[1]}_{c[2]}x{c[3]}")
+def test_padded_kernel_matches_preshift(case, rng):
+    g, c, h, w, px, py, scale = case
+    assert shift_pallas.supports_padded(h, w)
+    raw = rng.integers(0, 256, (g, c, h, w), dtype=np.uint8)
+    fo = (rng.uniform(-1, 1, (g, 2)) * np.array([px, py]) * scale).astype(
+        np.int32
+    )
+    padded = blend_pallas.pad_images(jnp.asarray(raw), px, py)
+    got = np.asarray(
+        shift_pallas.shift_flat_padded(
+            padded, jnp.asarray(fo), h=h, w=w, px=px, py=py
+        )
+    )
+    want = np.asarray(
+        blend_pallas.preshift_flat(
+            padded, jnp.asarray(fo), px=px, py=py, h=h, w=w
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_padded_kernel_row_blocks(rng):
+    g, c, h, w, px, py = 4, 3, 96, 384, 128, 128
+    raw = rng.integers(0, 256, (g, c, h, w), dtype=np.uint8)
+    fo = rng.integers(-100, 100, (g, 2)).astype(np.int32)
+    padded = blend_pallas.pad_images(jnp.asarray(raw), px, py)
+    full = np.asarray(
+        shift_pallas.shift_flat_padded(
+            padded, jnp.asarray(fo), h=h, w=w, px=px, py=py
+        )
+    ).reshape(g, c, _align(h, 8), _align(w, 128))
+    hb = h // 4
+    blocks = [
+        np.asarray(
+            shift_pallas.shift_flat_padded(
+                padded, jnp.asarray(fo), h=h, w=w, px=px, py=py,
+                row_start=b * hb, row_count=hb,
+            )
+        ).reshape(g, c, _align(hb, 8), _align(w, 128))
+        for b in range(4)
+    ]
+    np.testing.assert_array_equal(
+        np.concatenate(blocks, axis=2)[:, :, :h], full[:, :, :h]
+    )
