@@ -84,22 +84,22 @@ def shift_bound(
 
 
 def pad_images(images: jnp.ndarray, px: int, py: int) -> jnp.ndarray:
-    """Edge-replicate pad [G, C, H, W] -> [G, C, H+2py+16, W+2px+256].
+    """Edge-replicate pad [G, C, H, W] -> [G, C, H+2py+48, W+2px+256].
 
     The (px, py) sides encode the clamp for shifts up to the bound; the
     extra bottom/right tail covers the alignment overhang of the shifted
     window (rows to 8, lanes to 128) PLUS the tile-aligned DMA window of
-    the Pallas padded-shift kernel (a floor8/floor128 start needs up to 8
-    extra rows / 128 extra lanes beyond the overhang). Built once per light
-    field (per frame when streaming). Implemented as explicit
-    broadcast+concat: bit-identical to jnp.pad(mode="edge") but ~2x faster
-    on TPU, where XLA lowers edge padding through a slow gather-style fill.
+    the Pallas padded-shift kernel (floor8/floor128 starts and a
+    sublane-aligned align32(tb+8)-row window). Built once per light field
+    (per frame when streaming). Implemented as explicit broadcast+concat:
+    bit-identical to jnp.pad(mode="edge") but ~2x faster on TPU, where XLA
+    lowers edge padding through a slow gather-style fill.
     """
     g, c, h, w = images.shape
     top = jnp.broadcast_to(images[:, :, :1, :], (g, c, py, w))
-    bot = jnp.broadcast_to(images[:, :, h - 1 :, :], (g, c, py + 16, w))
+    bot = jnp.broadcast_to(images[:, :, h - 1 :, :], (g, c, py + 48, w))
     x = jnp.concatenate([top, images, bot], axis=2)
-    hp = h + 2 * py + 16
+    hp = h + 2 * py + 48
     left = jnp.broadcast_to(x[:, :, :, :1], (g, c, hp, px))
     right = jnp.broadcast_to(x[:, :, :, w - 1 : w], (g, c, hp, px + 256))
     return jnp.concatenate([left, x, right], axis=3)

@@ -15,12 +15,14 @@ Why this shape (all constraints measured on v5e, see CLAUDE.md):
   - DMA slice offsets must be tile-aligned (sublanes %8, lanes %128), so the
     per-image row offset is split into an 8-aligned DMA start plus a sub-8
     residual fixed in VMEM;
-  - Mosaic has no dynamic roll / offset-broadcast for 8-bit vectors (nor
-    i16: dynamic_rotate legalizes for 32-bit only), so the residual row
-    roll, the lane roll (dx), and the border selects run on an i32 widening
-    of the block (measured free -- the kernel is store/select-bound, not
-    widen-bound); lane-border selects use one full-width masked store, or
-    static edge strips when those cover <1/4 of the row (the 4K case).
+  - Mosaic has no dynamic roll / offset-broadcast / compare for 8-bit
+    vectors (nor i16: dynamic_rotate legalizes for 32-bit only), so the
+    whole epilogue runs in the SUBLANE-PACKED u32 view (pltpu.bitcast
+    packs 4 consecutive rows per lane, row 0 in the LSB): lane rolls and
+    lane-border selects are column-granular and work unchanged, the row
+    alignment is one packed roll + two 32-bit shifts, and the row-border
+    selects are byte-mask bitwise arithmetic -- 1/4 the bytes per op of a
+    widened-i32 formulation.
   - One auto-pipelined output block plus one manually double-buffered input
     DMA per grid step keeps the kernel at the chip's copy ceiling instead of
     the per-window-DMA issue latency floor.
@@ -56,17 +58,26 @@ def pad_to_tiles(images: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(images, ((0, 0), (0, 0), (0, h8 - h), (0, w128 - w)))
 
 
-def _pick_tb(h8: int, w128: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
-    """Largest 8-multiple divisor of h8 whose i32 working set fits VMEM.
+def _pick_tb(
+    h8: int, w128: int, budget_bytes: int = 6 * 1024 * 1024,
+    max_window: int | None = None,
+) -> int | None:
+    """Largest 8-multiple divisor of h8 whose packed working set fits VMEM.
 
-    The compute path holds ~3 live i32 [TB, W128] temporaries plus the 2
-    u8 input slots and 2 u8 output blocks; cap TB so 3*4*TB*W128 stays
-    within the budget."""
-    cap = max(8, budget_bytes // (12 * w128) // 8 * 8)
-    best = 8
-    for tb in range(8, min(h8 - 8, cap) + 1, 8):
-        if h8 % tb == 0:
-            best = tb
+    The compute path holds a few packed-u32 [TB/4+, W128] temporaries plus
+    the 2 u8 input slots and 2 u8 output blocks. The DMA window is
+    align32(tb+8) rows so the packed view has a sublane-aligned row count
+    (Mosaic rejects sublane rotates on unaligned shapes); `max_window`
+    bounds it (the tiled kernel's windows must fit the stack height).
+    Returns None when no tb qualifies."""
+    cap = max(8, budget_bytes // (8 * w128) // 8 * 8)
+    best = None
+    for tb in range(8, min(h8, cap) + 1, 8):
+        if h8 % tb:
+            continue
+        if max_window is not None and _align(tb + 8, 32) > max_window:
+            continue
+        best = tb
     return best
 
 
@@ -74,17 +85,16 @@ def _shift_kernel(
     dyx_ref,  # SMEM [G, 2] int32 (dx, dy), pre-clipped to (+-px, +-py)
     raw_ref,  # HBM [G, C, H8, W128] uint8
     out_ref,  # VMEM block [1, 1, TB, W128] uint8
-    scratch,  # VMEM [2, TB+8, W128] uint8
+    scratch,  # VMEM [2, WR, W128] uint8 (WR = align32(tb+8))
     sems,  # DMA semaphores [2]
     *,
     h: int,
     w: int,
     tb: int,
-    sl: int,  # left strip width (static, 128-multiple; 0 = no strip stores)
-    sr: int,  # right strip width (static, 128-multiple; 0 = no strip stores)
 ):
     grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
     h8 = grid[2] * tb
+    wr = _align(tb + 8, 32)  # window rows: packed view stays sublane-aligned
     w128 = out_ref.shape[3]
     n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
     total = grid[0] * grid[1] * grid[2]
@@ -95,9 +105,9 @@ def _shift_kernel(
         g = step // (grid[1] * grid[2])
         dy = dyx_ref[g, 1]
         s0 = jnp.clip(rb * tb + dy, 0, h - tb)
-        s0a = (jnp.minimum(s0, h8 - tb - 8) // 8) * 8
+        s0a = (jnp.minimum(s0, h8 - wr) // 8) * 8
         return pltpu.make_async_copy(
-            raw_ref.at[g, c, pl.ds(s0a, tb + 8), :],
+            raw_ref.at[g, c, pl.ds(s0a, wr), :],
             scratch.at[step % 2],
             sems.at[step % 2],
         )
@@ -118,7 +128,7 @@ def _shift_kernel(
     dx = dyx_ref[g, 0]
     dy = dyx_ref[g, 1]
     s0 = jnp.clip(r0 + dy, 0, h - tb)
-    s0a = (jnp.minimum(s0, h8 - tb - 8) // 8) * 8
+    s0a = (jnp.minimum(s0, h8 - wr) // 8) * 8
     # want zone[y] = block[y + delta] for the rows that are in range;
     # delta folds both the clamp offset and the 8-alignment residual
     delta = r0 + dy - s0a
@@ -128,52 +138,60 @@ def _shift_kernel(
     x0 = -dx  # lanes < x0 -> left border
     x1 = w - 1 - dx  # lanes > x1 -> right border
 
-    a = scratch[n % 2, :, :].astype(jnp.int32)  # [tb+8, w128]
-    zone = pltpu.roll(
-        a, (tb + 8 - delta % (tb + 8)) % (tb + 8), 0
-    )[0:tb, :]
+    # Everything below runs in the SUBLANE-PACKED u32 view: bitcast packs 4
+    # consecutive rows per lane with row 0 in the LSB (verified on v5e AND
+    # in interpret mode), so the lane roll and lane-border selects work
+    # unchanged (column-granular), the row alignment becomes one packed
+    # roll + two 32-bit shifts, and the row-border selects become byte-mask
+    # bitwise arithmetic -- every op touches 1/4 the bytes of the previous
+    # widened-i32 formulation (measured 3.84 -> ~2 ms at 1080p).
+    A = pltpu.bitcast(scratch[n % 2, :, :], jnp.uint32)  # [wr/4, w128]
+    R = wr // 4
+    q = delta // 4
+    rr = delta - 4 * q  # in [0, 4) for any (possibly negative) delta
+    z0 = pltpu.roll(A, (R - q % R) % R, 0)  # z0[k] = A[k+q]
+    z1 = pltpu.roll(A, (R - (q + 1) % R) % R, 0)  # A[k+q+1]
+    sh = (8 * rr).astype(jnp.uint32)
+    shl = ((32 - 8 * rr) % 32).astype(jnp.uint32)  # no UB shift when rr==0
+    mix = jax.lax.shift_right_logical(z0, sh) | jax.lax.shift_left(z1, shl)
+    zone = jnp.where(rr == 0, z0, mix)[0 : tb // 4, :]
 
-    ys = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
+    # Row borders as byte masks: byte i of packed row k is band row 4k+i.
+    # Border rows sit at STATIC byte positions (a top-clamped band has
+    # s0a == 0 so src row 0 is byte-row 0; a bottom-clamped band has
+    # s0a == h8-wr so src row h-1 is byte-row wr-1-(h8-h)); replicate
+    # that byte across the word with * 0x01010101.
+    ff = jnp.uint32(0xFF)
+    rep = jnp.uint32(0x01010101)
+    topv = (A[0:1, :] & ff) * rep
+    bi = wr - 1 - (h8 - h)
+    botv = (
+        jax.lax.shift_right_logical(
+            A[bi // 4 : bi // 4 + 1, :], jnp.uint32(8 * (bi % 4))
+        )
+        & ff
+    ) * rep
+    ysp = jax.lax.broadcasted_iota(jnp.int32, (tb // 4, 1), 0) * 4
+    zero = jnp.uint32(0)
+    mtop = zero
+    mbot = zero
+    for i in range(4):
+        byte = jnp.uint32(0xFF << (8 * i))
+        mtop = mtop | jnp.where(ysp + i < v0, byte, zero)
+        mbot = mbot | jnp.where(ysp + i > v1, byte, zero)
+    keep = (mtop | mbot) ^ jnp.uint32(0xFFFFFFFF)
+    rf = (mtop & topv) | (mbot & botv) | (keep & zone)
+
     lane_shift = (w128 - (dx % w128)) % w128
-
-    # Row borders, unconditionally: border rows sit at STATIC block
-    # positions (a top-clamped band has s0a == 0 so src row 0 is block row
-    # 0; a bottom-clamped band has s0a == h8-tb-8 so src row h-1 is block
-    # row tb+7-(h8-h)), and an unconditional 2-level select measured FASTER
-    # than pl.when band branches (branches triplicate the store pipeline and
-    # defeat Mosaic's scheduling; see CLAUDE.md round-2 notes).
-    bi = tb + 7 - (h8 - h)
-    rf = jnp.where(
-        ys < v0, a[0:1, :], jnp.where(ys > v1, a[bi : bi + 1, :], zone)
-    )
     rolled = pltpu.roll(rf, lane_shift, 1)
     # rf[:, w-1] broadcast: offset-broadcasts relayout slowly, so roll a
     # static 128-lane chunk by 1 to bring column w-1 to lane offset 0.
     right = pltpu.roll(rf[:, w - 128 : w], 1, 1)[:, 0:1]
-
-    if sl == 0:
-        # Single full-width masked store: cheapest when the border strips
-        # would cover a large fraction of the row (and the only correct
-        # option when they overlap, e.g. small images).
-        xs = jax.lax.broadcasted_iota(jnp.int32, (tb, w128), 1)
-        out_ref[0, 0, :, :] = jnp.where(
-            xs < x0, rf[:, 0:1], jnp.where(xs > x1, right, rolled)
-        ).astype(jnp.uint8)
-    else:
-        # Strip stores: lane-border selects confined to the static edge
-        # strips so the middle of every row is a single rolled store (wins
-        # when sl+sr is a small fraction of w128, e.g. 4K).
-        out_ref[0, 0, :, sl : w128 - sr] = rolled[:, sl : w128 - sr].astype(
-            jnp.uint8
-        )
-        xs_l = jax.lax.broadcasted_iota(jnp.int32, (tb, sl), 1)
-        out_ref[0, 0, :, 0:sl] = jnp.where(
-            xs_l < x0, rf[:, 0:1], rolled[:, 0:sl]
-        ).astype(jnp.uint8)
-        xs_r = jax.lax.broadcasted_iota(jnp.int32, (tb, sr), 1) + (w128 - sr)
-        out_ref[0, 0, :, w128 - sr : w128] = jnp.where(
-            xs_r > x1, right, rolled[:, w128 - sr : w128]
-        ).astype(jnp.uint8)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, w128), 1)
+    out_ref[0, 0, :, :] = pltpu.bitcast(
+        jnp.where(xs < x0, rf[:, 0:1], jnp.where(xs > x1, right, rolled)),
+        jnp.uint8,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
@@ -194,15 +212,9 @@ def shift_flat_tiled(
     shift >= the image size saturates the clamp anyway.
     """
     g, c, h8, w128 = tiled.shape
-    tb = _pick_tb(h8, w128)
-    # Static strips covering every lane that can need border values. Strip
-    # stores only pay off when the strips are a small fraction of the row
-    # (measured crossover ~1/4 on v5e); otherwise -- including overlapping
-    # strips on small images -- one full-width masked store is faster.
-    sl = min(_align(min(px, w - 1), 128), w128)
-    sr = min(_align(min(px, w - 1) + (w128 - w), 128), w128)
-    if sl + sr > w128 // 4 or w128 - sl - sr <= 0:
-        sl = sr = 0  # full-width masked store
+    tb = _pick_tb(h8, w128, max_window=h8)
+    if tb is None:
+        raise ValueError("geometry unsupported; check supports() first")
     dyx = jnp.stack(
         [
             jnp.clip(focused_offsets[:, 0], -px, px),
@@ -211,9 +223,7 @@ def shift_flat_tiled(
         axis=1,
     ).astype(jnp.int32)
 
-    kernel = functools.partial(
-        _shift_kernel, h=h, w=w, tb=tb, sl=sl, sr=sr
-    )
+    kernel = functools.partial(_shift_kernel, h=h, w=w, tb=tb)
     out = pl.pallas_call(
         kernel,
         grid=(g, c, h8 // tb),
@@ -227,7 +237,7 @@ def shift_flat_tiled(
         ),
         out_shape=jax.ShapeDtypeStruct((g, c, h8, w128), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, tb + 8, w128), jnp.uint8),
+            pltpu.VMEM((2, _align(tb + 8, 32), w128), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -243,7 +253,7 @@ def _pshift_kernel(
     rs_ref,  # SMEM [1] int32: global row of the output block's first row
     pad_ref,  # HBM [G, C, Hp, Wp] uint8 (blend_pallas.pad_images)
     out_ref,  # VMEM block [1, 1, TB, W128] uint8
-    scratch,  # VMEM [2, TB+8, W128+128] uint8
+    scratch,  # VMEM [2, WR, W128+128] uint8 (WR = align32(tb+8))
     sems,  # DMA semaphores [2]
     *,
     tb: int,
@@ -251,6 +261,7 @@ def _pshift_kernel(
     py: int,
 ):
     grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
+    wr = _align(tb + 8, 32)  # window rows: packed view stays sublane-aligned
     w128 = out_ref.shape[3]
     s_lanes = w128 + 128
     n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
@@ -258,7 +269,7 @@ def _pshift_kernel(
 
     def starts(g, rb):
         # tile-aligned window start; in-bounds for any clipped shift by
-        # pad_images' +16-row/+256-lane tails
+        # pad_images' +48-row/+256-lane tails
         s0 = (py + dyx_ref[g, 1] + rs_ref[0] + rb * tb) // 8 * 8
         l0 = (px + dyx_ref[g, 0]) // 128 * 128
         return s0, l0
@@ -269,7 +280,7 @@ def _pshift_kernel(
         g = step // (grid[1] * grid[2])
         s0, l0 = starts(g, rb)
         return pltpu.make_async_copy(
-            pad_ref.at[g, c, pl.ds(s0, tb + 8), pl.ds(l0, s_lanes)],
+            pad_ref.at[g, c, pl.ds(s0, wr), pl.ds(l0, s_lanes)],
             scratch.at[step % 2],
             sems.at[step % 2],
         )
@@ -296,8 +307,8 @@ def _pshift_kernel(
     # so a lane roll moves whole byte-columns and the sub-4-row residual is
     # a pair of 32-bit shifts -- every op touches 1/4 the bytes of the
     # widened-i32 formulation.
-    A = pltpu.bitcast(scratch[n % 2, :, :], jnp.uint32)  # [(tb+8)/4, S]
-    R = (tb + 8) // 4
+    A = pltpu.bitcast(scratch[n % 2, :, :], jnp.uint32)  # [wr/4, S]
+    R = wr // 4
     q = r_res // 4
     rr = r_res - 4 * q
     z0 = pltpu.roll(A, (R - q % R) % R, 0)  # z0[k] = A[k+q]
@@ -367,7 +378,7 @@ def shift_flat_padded(
         ),
         out_shape=jax.ShapeDtypeStruct((g, c, h8, w128), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, tb + 8, w128 + 128), jnp.uint8),
+            pltpu.VMEM((2, _align(tb + 8, 32), w128 + 128), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -390,10 +401,14 @@ def supports(h: int, w: int) -> bool:
     h8, w128 = _align(h, 8), _align(w, 128)
     if w128 > 8 * 3968:  # lane-roll temporaries would blow VMEM
         return False
-    # tb < h must hold so a band never needs both edge clamps (_pick_tb
-    # caps tb at h8-8); w >= 128 so the right-border chunk roll has a full
-    # static 128-lane window; require >= 2 bands of headroom
-    return h8 >= 16 and w >= 128 and h >= 16
+    # w >= 128 so the right-border chunk roll has a full static 128-lane
+    # window; the sublane-aligned DMA window align32(tb+8) must fit the
+    # stack height (h8 >= 32, enforced via _pick_tb)
+    return (
+        h >= 16
+        and w >= 128
+        and _pick_tb(h8, w128, max_window=h8) is not None
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
