@@ -21,12 +21,14 @@ the per-level work as in-VMEM rolls and selects:
     1. one manually double-buffered DMA of a window covering every present
        level's row span (static height `tbw` = band + spread bound),
     2. for each level present in the band (SMEM presence table, runtime
-       skip): dynamic sublane roll to the level's base row shift, +-1 row
-       variants by static slices, the exact f32 truncation-correction
-       selects of blend_xla.trunc_offsets, border clamps, dynamic lane roll
-       + +-1 lane variants + truncation/border selects, then a map-mask
-       accumulate into an i32 scratch,
-    3. one u8 store of the selected band.
+       skip): a 32-aligned slice of the sublane-packed u32 window + a
+       packed residual roll, the exact f32 truncation-correction rule of
+       blend_xla.trunc_offsets as byte masks (+-1 row variants are 32-bit
+       byte shifts), border clamps as byte-mask bitwise arithmetic, the
+       dynamic lane roll + +-1 lane variants + truncation/border selects
+       (column-granular, unchanged by packing), and the map-level equality
+       as the SWAR zero-byte test -- accumulated into a packed u32 scratch,
+    3. one u8 store (a bitcast) of the selected band.
 
 The output is the blend-ready flat layout of blend_pallas.blend_flat, so the
 full TEN allFocus render is this kernel + the same MXU matmul as the
@@ -67,20 +69,20 @@ def _pick_tb_af(hl8: int, h8: int, w128: int, spread: int,
     """Largest 8-multiple divisor of the output-block height `hl8` whose
     working set fits VMEM (windows must also fit the full stack height h8).
 
-    Model: 2 u8 DMA windows [tbw, w128] + the widened i32 window scratch +
-    per-level i32 temporaries (~5 live [tb, w128]) + i32 accumulator +
-    double-buffered blocks. Bigger tb amortizes the once-per-step window
-    costs over more output rows."""
+    Model: 2 u8 DMA windows [tbw, w128] + the packed-u32 window scratch
+    (same bytes) + per-level packed temporaries (~8 live [tb/4, w128] u32)
+    + the packed accumulator + double-buffered blocks. Bigger tb amortizes
+    the once-per-step window costs over more output rows."""
     best = None
     for tb in range(8, hl8 + 1, 8):
         if hl8 % tb:
             continue
-        tbw = _align(tb + spread + 16, 8)
+        tbw = _align(tb + spread + 16, 32)
         # tbw may fill the whole stack: the window start is then always 0,
         # so both border rows still sit at static block positions
         if tbw > h8:
             continue
-        need = w128 * (2 * tbw + 4 * tbw + 20 * tb + 4 * tb + 3 * tb)
+        need = w128 * (3 * tbw + 11 * tb + 2 * tbw)
         if need <= budget_bytes:
             best = tb
     return best
@@ -107,8 +109,8 @@ def _af_kernel(
     map_ref,  # VMEM block [TB, W128] uint8 (raw focus map band)
     raw_ref,  # HBM [G, C, H8, W128] uint8 (FULL image stack)
     out_ref,  # VMEM block [1, 1, TB, W128] uint8
-    acc,  # VMEM scratch [TB, W128] int32
-    win,  # VMEM scratch [TBW, W128] int32 (widened window)
+    acc,  # VMEM scratch [TB/4, W128] uint32 (packed accumulator)
+    winp,  # VMEM scratch [TBW/4, W128] uint32 (packed window)
     scratch,  # VMEM scratch [2, TBW, W128] uint8
     sems,  # DMA semaphores [2]
     *,
@@ -118,15 +120,12 @@ def _af_kernel(
     tbw: int,
     n_levels: int,
     px: int,
-    sl: int,  # left lane-border strip (static, 128-mult; 0 = full-width)
-    sr: int,  # right lane-border strip
 ):
     grid = (pl.num_programs(0), pl.num_programs(1), pl.num_programs(2))
     h8 = raw_ref.shape[2]  # FULL tiled height (output may be a row block)
     w128 = out_ref.shape[3]
     n = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
     total = grid[0] * grid[1] * grid[2]
-    s_rows = tb + 16  # per-level sub-window rows (slice of `win`)
 
     def window_start(g, rb):
         # Pin bottom-clamp-capable bands to the bottom-most window so the
@@ -166,21 +165,38 @@ def _af_kernel(
     s0a = window_start(g, rb)
     minny = rowspan_ref[g, 0]
 
-    # widen once per step; per-level row extraction is then an 8-aligned
-    # dynamic slice of `win` + a small residual roll (cost ~ tb, not tbw --
-    # a per-level roll of the full window measured 3.5x slower at 8x8/1080p)
-    win[:, :] = scratch[n % 2, :, :].astype(jnp.int32)
-    mapb = map_ref[:, :].astype(jnp.int32)  # [tb, w128]
-    acc[:, :] = jnp.zeros((tb, w128), jnp.int32)
+    # Pack the window once per step; ALL per-level work runs on the
+    # sublane-packed u32 view (4 byte-rows per lane, row 0 in the LSB --
+    # verified on v5e and in interpret mode): the +-1 row variants of the
+    # truncation rule become 32-bit byte shifts, the row-rule and border
+    # selects become byte-mask bitwise arithmetic, the map-level equality
+    # becomes the SWAR zero-byte test, and the lane work (rolls, dxo
+    # selects, lane borders) is column-granular so it carries over
+    # unchanged. Every op touches 1/4 the bytes of the previous widened-i32
+    # formulation.
+    winp[:, :] = pltpu.bitcast(scratch[n % 2, :, :], jnp.uint32)
+    mapp = pltpu.bitcast(map_ref[:, :], jnp.uint32)  # [tb/4, w128]
+    acc[:, :] = jnp.zeros((tb // 4, w128), jnp.uint32)
 
-    qy = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0) + r0
-    qyf = qy.astype(jnp.float32)
+    ff = jnp.uint32(0xFF)
+    rep = jnp.uint32(0x01010101)
+    m7f = jnp.uint32(0x7F7F7F7F)
+    allff = jnp.uint32(0xFFFFFFFF)
+    one8 = jnp.uint32(8)
+    nbp = tb // 4
+
+    ysp = jax.lax.broadcasted_iota(jnp.int32, (nbp, 1), 0) * 4 + r0
     qx = jax.lax.broadcasted_iota(jnp.int32, (1, w128), 1)
     qxf = qx.astype(jnp.float32)
-    # static block positions of the border rows (see window_start)
+    # static packed positions of the border rows (see window_start)
     bi = tbw - 1 - (h8 - h)
-    top_row = win[0:1, :]
-    bot_row = win[bi : bi + 1, :]
+    topv = (winp[0:1, :] & ff) * rep
+    botv = (
+        jax.lax.shift_right_logical(
+            winp[bi // 4 : bi // 4 + 1, :], jnp.uint32(8 * (bi % 4))
+        )
+        & ff
+    ) * rep
 
     def level_body(l, _):
         @pl.when(pres_ref[rb, l] == 1)
@@ -191,40 +207,64 @@ def _af_kernel(
             n_y = jnp.clip(n_y, minny, minny + tbw)  # defensive: in-window
             n_x = jnp.clip(jnp.floor(fx), -(px + 0.0), px + 0.0).astype(jnp.int32)
 
-            # exact truncation deltas (blend_xla.trunc_offsets semantics);
-            # tiny [tb,1]/[1,w128] vectors
-            dyo = jnp.clip(
-                (jnp.trunc(qyf + fy) - (qyf + jnp.floor(fy))).astype(jnp.int32),
-                -1, 1,
-            )  # [tb, 1]
+            # exact truncation deltas (blend_xla.trunc_offsets semantics)
+            # and border conditions, evaluated per BYTE-ROW (4 interleaved
+            # tiny [tb/4, 1] chains) and folded into byte masks
+            zero = jnp.uint32(0)
+            mm = zero
+            mp = zero
+            mtop = zero
+            mbot = zero
+            for i in range(4):
+                qyf_i = (ysp + i).astype(jnp.float32)
+                dyo_i = jnp.clip(
+                    (jnp.trunc(qyf_i + fy) - (qyf_i + jnp.floor(fy))).astype(
+                        jnp.int32
+                    ),
+                    -1, 1,
+                )
+                rowidx_i = ysp + i + n_y + dyo_i
+                byte = jnp.uint32(0xFF << (8 * i))
+                mm = mm | jnp.where(dyo_i == -1, byte, zero)
+                mp = mp | jnp.where(dyo_i == 1, byte, zero)
+                mtop = mtop | jnp.where(rowidx_i < 0, byte, zero)
+                mbot = mbot | jnp.where(rowidx_i > h - 1, byte, zero)
             dxo = jnp.clip(
                 (jnp.trunc(qxf + fx) - (qxf + jnp.floor(fx))).astype(jnp.int32),
                 -1, 1,
             )  # [1, w128]
 
-            # rows: wanted img rows [r0+n_y-1, r0+n_y+tb+1); 8-aligned slice
-            # start + residual roll; negative/overflowing residuals wrap
-            # (mod), leaving garbage exactly on rows whose rowidx is out of
-            # [0, h) -- fixed by the border selects below
             o = r0 + n_y - 1 - s0a
-            # clip BEFORE aligning: the trailing //8*8 must be the last op
-            # so Mosaic can prove the slice's sublane alignment
-            od = jnp.clip(o, 0, tbw - s_rows + 7) // 8 * 8
-            small = win[pl.ds(od, s_rows), :]
-            r_res = o - od
-            small = pltpu.roll(small, (s_rows - r_res % s_rows) % s_rows, 0)
-
-            zm, z0, zp = (
-                small[0:tb, :],
-                small[1 : tb + 1, :],
-                small[2 : tb + 2, :],
+            # full-window packed rolls (no alignment constraints; packed
+            # rolls move 1/4 the bytes, so the window/band ratio is cheap);
+            # negative or overflowing o wraps (mod), leaving garbage exactly
+            # on rows whose rowidx is out of [0, h) -- border-masked below
+            rp_all = tbw // 4
+            rb4 = o // 4
+            rr = o - 4 * rb4  # in [0, 4) for any sign of o
+            z0r = pltpu.roll(winp[:, :], (rp_all - rb4 % rp_all) % rp_all, 0)
+            z1r = pltpu.roll(
+                winp[:, :], (rp_all - (rb4 + 1) % rp_all) % rp_all, 0
             )
-            rsel = jnp.where(dyo == 1, zp, jnp.where(dyo == -1, zm, z0))
-            rowidx = qy + n_y + dyo
-            rf = jnp.where(
-                rowidx < 0, top_row,
-                jnp.where(rowidx > h - 1, bot_row, rsel),
+            sh = (8 * rr).astype(jnp.uint32)
+            shl = ((32 - 8 * rr) % 32).astype(jnp.uint32)
+            base = jnp.where(
+                rr == 0,
+                z0r,
+                jax.lax.shift_right_logical(z0r, sh)
+                | jax.lax.shift_left(z1r, shl),
             )
+            zm = base[0:nbp, :]  # byte k,i = img row r0+n_y-1 + 4k+i
+            bn = pltpu.roll(base, rp_all - 1, 0)[0:nbp, :]  # base[k+1]
+            z0v = jax.lax.shift_right_logical(zm, one8) | jax.lax.shift_left(
+                bn, jnp.uint32(24)
+            )
+            zpv = jax.lax.shift_right_logical(
+                zm, jnp.uint32(16)
+            ) | jax.lax.shift_left(bn, jnp.uint32(16))
+            rsel = (mm & zm) | (mp & zpv) | (((mm | mp) ^ allff) & z0v)
+            keep = (mtop | mbot) ^ allff
+            rf = (mtop & topv) | (mbot & botv) | (keep & rsel)
 
             rolled = pltpu.roll(rf, (w128 - n_x % w128) % w128, 1)
             rm = pltpu.roll(rolled, 1, 1)  # rf[x + n_x - 1]
@@ -233,41 +273,27 @@ def _af_kernel(
             colidx = qx + n_x + dxo
             left = rf[:, 0:1]
             right = pltpu.roll(rf[:, w - 128 : w], 1, 1)[:, 0:1]
-            lvl_mask = mapb == levels_ref[l]
+            val = jnp.where(
+                colidx < 0, left, jnp.where(colidx > w - 1, right, csel)
+            )
 
-            if sl == 0:
-                # full-width masked accumulate (small images)
-                val = jnp.where(
-                    colidx < 0, left, jnp.where(colidx > w - 1, right, csel)
-                )
-                acc[:, :] = jnp.where(lvl_mask, val, acc[:, :])
-            else:
-                # lane borders only exist on the static strips; the middle
-                # is a plain masked accumulate
-                acc[:, sl : w128 - sr] = jnp.where(
-                    lvl_mask[:, sl : w128 - sr],
-                    csel[:, sl : w128 - sr],
-                    acc[:, sl : w128 - sr],
-                )
-                val_l = jnp.where(colidx[:, 0:sl] < 0, left, csel[:, 0:sl])
-                acc[:, 0:sl] = jnp.where(
-                    lvl_mask[:, 0:sl], val_l, acc[:, 0:sl]
-                )
-                val_r = jnp.where(
-                    colidx[:, w128 - sr : w128] > w - 1,
-                    right,
-                    csel[:, w128 - sr : w128],
-                )
-                acc[:, w128 - sr : w128] = jnp.where(
-                    lvl_mask[:, w128 - sr : w128],
-                    val_r,
-                    acc[:, w128 - sr : w128],
-                )
+            # map == level as the SWAR zero-byte test on map ^ level*rep.
+            # The borrow-free formulation ~((x&0x7F..)+0x7F.. | x | 0x7F..)
+            # is exact per byte (the classic (x-rep)&~x&0x80.. one false-
+            # positives on 0x01 bytes adjacent to a zero byte).
+            lrep = levels_ref[l].astype(jnp.uint32) * rep
+            x = mapp ^ lrep
+            t = (x & m7f) + m7f
+            m80 = ((t | x) | m7f) ^ allff
+            mask = jax.lax.shift_right_logical(m80, jnp.uint32(7)) * ff
+            acc[:, :] = (mask & val) | ((mask ^ allff) & acc[:, :])
 
         return 0
 
     lax.fori_loop(0, n_levels, level_body, 0)
-    out_ref[0, 0, :, :] = acc[:, :].astype(jnp.uint8)
+    out_ref[0, 0, :, :] = pltpu.bitcast(acc[:, :], jnp.uint8)
+
+
 
 
 @functools.partial(
@@ -304,15 +330,9 @@ def allfocus_select_tiled(
     tb = _pick_tb_af(hl8, h8, w128, spread)
     if tb is None:
         raise ValueError("geometry unsupported; check supports() first")
-    tbw = _align(tb + spread + 16, 8)
+    tbw = _align(tb + spread + 16, 32)
     nb = hl8 // tb
     row_start = jnp.asarray(row_start, jnp.int32).reshape(1)
-    # lane-border strips (see the fixed-shift kernel); full-width masked
-    # accumulate when they would overlap or cover everything
-    sl = min(_align(min(px, w - 1) + 2, 128), w128)
-    sr = min(_align(min(px, w - 1) + 2 + (w128 - w), 128), w128)
-    if px + 2 >= w or sl + sr + 128 > w128:
-        sl = sr = 0
 
     nys = jnp.clip(jnp.floor(fys), -(h + 2.0), h + 2.0).astype(jnp.int32)
     minny = nys.min(axis=0)
@@ -327,8 +347,7 @@ def allfocus_select_tiled(
     ).astype(jnp.int32)  # [NB, L]
 
     kernel = functools.partial(
-        _af_kernel, h=h, w=w, tb=tb, tbw=tbw, n_levels=n_levels,
-        px=px, sl=sl, sr=sr,
+        _af_kernel, h=h, w=w, tb=tb, tbw=tbw, n_levels=n_levels, px=px,
     )
     out = pl.pallas_call(
         kernel,
@@ -352,8 +371,8 @@ def allfocus_select_tiled(
         ),
         out_shape=jax.ShapeDtypeStruct((g, c, hl8, w128), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((tb, w128), jnp.int32),
-            pltpu.VMEM((tbw, w128), jnp.int32),
+            pltpu.VMEM((tb // 4, w128), jnp.uint32),
+            pltpu.VMEM((tbw // 4, w128), jnp.uint32),
             pltpu.VMEM((2, tbw, w128), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
