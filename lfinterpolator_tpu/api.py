@@ -433,10 +433,27 @@ class Interpolator:
                         f"batched view count {big.shape[0]} must divide by the "
                         f"mesh view axis ({self.mesh.shape['view']})"
                     )
-                views = pmesh.render_fixed_sharded(
-                    self.mesh, self.images,
-                    pmesh.shard_weights(self.mesh, big), fo,
+                big_sharded = pmesh.shard_weights(self.mesh, big)
+                # Mirror interpolate(): prefer the fused Pallas kernel per
+                # shard when the method and geometry allow it.
+                use_pallas = (
+                    method_key == "TEN"
+                    and blend_pallas.is_available()
+                    and lf.height % self.mesh.shape["space"] == 0
                 )
+                if use_pallas:
+                    px, py = blend_pallas.shift_bound(
+                        offsets, cfg.focus, lf.height, lf.width
+                    )
+                    padded = pmesh.replicate(self.mesh, self._padded(px, py))
+                    views = pmesh.render_fixed_sharded_pallas(
+                        self.mesh, padded, big_sharded, fo,
+                        h=lf.height, w=lf.width, px=px, py=py,
+                    )
+                else:
+                    views = pmesh.render_fixed_sharded(
+                        self.mesh, self.images, big_sharded, fo,
+                    )
             elif method_key == "TEN" and blend_pallas.is_available():
                 px, py = blend_pallas.shift_bound(
                     offsets, cfg.focus, lf.height, lf.width

@@ -71,6 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
              "(src/lfLoader.cpp:64) for side-by-side output comparisons",
     )
     p.add_argument("--quilt", action="store_true")
+    p.add_argument(
+        "--quilt-tile", dest="quilt_tile", metavar="HxW", default=None,
+        help="resize quilt tiles to HxW (e.g. 1080x1920); default keeps the "
+             "native view resolution",
+    )
+    p.add_argument(
+        "--quilt-reference", action="store_true",
+        help="write the quilt at the reference script's exact geometry: 5x9 "
+             "tiles resized to 1080x1920 (scripts/viewsToQuilt.sh:2); "
+             "implies --quilt",
+    )
     p.add_argument("--json", action="store_true", dest="json_out")
     p.add_argument("--no-progress", action="store_true")
     return p
@@ -116,9 +127,22 @@ def main(argv: list[str] | None = None) -> int:
             progress=progress,
         )
         written = result.save(args.output, progress=progress)
-        if args.quilt:
+        if args.quilt or args.quilt_reference or args.quilt_tile:
+            tile_size = None
+            if args.quilt_reference:
+                tile_size = (1080, 1920)
+            if args.quilt_tile:
+                try:
+                    th, tw = (int(x) for x in args.quilt_tile.split("x"))
+                except ValueError:
+                    print(f"Bad --quilt-tile {args.quilt_tile!r}; expected "
+                          "HxW, e.g. 1080x1920", file=sys.stderr)
+                    return 1
+                tile_size = (th, tw)
             if result.views.shape[0] >= 45:
-                written.append(result.save_quilt(f"{args.output}/quilt.png"))
+                written.append(result.save_quilt(
+                    f"{args.output}/quilt.png", tile_size=tile_size
+                ))
             else:
                 print("Quilt skipped: needs >= 45 views", file=sys.stderr)
         if args.json_out:

@@ -81,9 +81,10 @@ def render_all_focus(
     bytes are arbitrary (a 256-byte-level select, absent bytes skipped at
     runtime), while the tensor-path equivalent blends with the RAW estimator
     map, whose bytes are level-quantized (at most `steps` select levels).
-    With `spread` given and a TPU available BOTH run through the fused
-    Pallas allFocus kernel; otherwise the XLA select scan (or, without
-    `pad`, the general gather path for STD).
+    With `spread` given and a TPU available only the TEN path routes through
+    the fused Pallas allFocus kernel; STD stays on the XLA 256-byte scan
+    (measured faster on dense-byte filtered maps -- see the comment in the
+    STD branch). Without `pad`, STD uses the general gather path.
 
     Returns (views [V, C, H, W] uint8, maps [2, H, W] uint8).
     """

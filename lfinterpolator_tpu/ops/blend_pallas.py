@@ -228,7 +228,7 @@ def render_fixed_padded(
     w_al = _align(w, 128)
     from . import shift_pallas
 
-    if is_available() and shift_pallas.supports_padded(h, w):
+    if is_available() and shift_pallas.supports_padded(h, w, row_count=h_out):
         # borderless Pallas shift: ~2.4 ms vs the XLA unaligned
         # dynamic-slice's 2.9 ms at the headline config (see
         # shift_flat_padded); bit-identical

@@ -327,7 +327,7 @@ def _pshift_kernel(
     jax.jit, static_argnames=("h", "w", "px", "py", "row_count")
 )
 def shift_flat_padded(
-    padded: jnp.ndarray,  # [G, C, H+2py+16, W+2px+256] uint8 (pad_images)
+    padded: jnp.ndarray,  # [G, C, H+2py+48, W+2px+256] uint8 (pad_images)
     focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy), traced
     *,
     h: int,
@@ -355,6 +355,8 @@ def shift_flat_padded(
     h_out = h if row_count is None else int(row_count)
     h8, w128 = _align(h_out, 8), _align(w, 128)
     tb = _pick_tb(h8, w128 + 128)
+    if tb is None:
+        raise ValueError("geometry unsupported; check supports_padded() first")
     dyx = jnp.stack(
         [
             jnp.clip(focused_offsets[:, 0], -px, px),
@@ -389,10 +391,20 @@ def shift_flat_padded(
     return out.reshape(g, c * h8 * w128)
 
 
-def supports_padded(h: int, w: int) -> bool:
-    """Whether the padded-shift kernel handles this geometry."""
-    w128 = _align(w, 128)
-    return w128 + 128 <= 8 * 3968 and _align(h, 8) >= 8
+def supports_padded(h: int, w: int, row_count: int | None = None) -> bool:
+    """Whether the padded-shift kernel handles this geometry.
+
+    Mirrors `supports`: verifies the same `_pick_tb` invariant
+    shift_flat_padded assumes (a valid block height for the kernel's
+    working set), instead of encoding a looser ad-hoc bound.
+    """
+    h_out = h if row_count is None else int(row_count)
+    h8, w128 = _align(h_out, 8), _align(w, 128)
+    return (
+        w128 + 128 <= 8 * 3968
+        and h8 >= 8
+        and _pick_tb(h8, w128 + 128) is not None
+    )
 
 
 def supports(h: int, w: int) -> bool:

@@ -88,8 +88,39 @@ class StreamingRenderer:
         self.focused = jnp.asarray(
             geometry.focused_offsets(offsets, self.cfg.focus)
         )
+        self._uses_focus_map = self.cfg.uses_focus_map
+        if self._uses_focus_map:
+            # Per-frame all-focus stream: estimate + filter + per-pixel
+            # blend every frame (reference flow per run:
+            # src/interpolator.cu:261-266). All bounds are static across
+            # frames, so every frame reuses one compiled program.
+            from .ops import allfocus_pallas, focus as focus_ops
+
+            cfg = self.cfg
+            self._radius = geometry.block_radius(
+                width, height, cfg.pixel_size_factor
+            )
+            self._filter_radius = (
+                self._radius[0] // cfg.filter_radius_divisor,
+                self._radius[1] // cfg.filter_radius_divisor,
+            )
+            self._ids = jnp.asarray(
+                geometry.select_focus_views(
+                    start_end, cols, rows, cfg.focus_map_views
+                )
+            )
+            self._focus_pad = focus_ops.shift_pad_bound(
+                offsets, cfg.focus, cfg.focus_range, self._radius,
+                height, width,
+            )
+            self._spread = allfocus_pallas.spread_bound(
+                offsets, cfg.focus, cfg.focus_range
+            )
+            self._offsets_j = jnp.asarray(offsets)
         self._use_pallas = (
-            self.cfg.method in ("TEN", "TEN_WM") and blend_pallas.is_available()
+            not self._uses_focus_map
+            and self.cfg.method in ("TEN", "TEN_WM")
+            and blend_pallas.is_available()
         )
         if self._use_pallas:
             self._bound = blend_pallas.shift_bound(
@@ -99,18 +130,45 @@ class StreamingRenderer:
             # the fused clamp-shift kernel (reads the raw stack once, no pad
             # pass at all); fall back to pad+slice for tiny geometries.
             self._use_tiled = shift_pallas.supports(height, width)
-            if not self._use_tiled:
+            if self._use_tiled:
+                # Jitted (and skipped entirely for tile-aligned sizes): an
+                # eager per-frame pad would dispatch op-by-op through the
+                # relay (~1.5 ms/op) for odd geometries.
+                from .ops.blend_pallas import _align
+
+                self._needs_tile_pad = (
+                    _align(height, 8), _align(width, 128)
+                ) != (height, width)
+                if self._needs_tile_pad:
+                    self._pad_tiles = jax.jit(shift_pallas.pad_to_tiles)
+            else:
                 # (no donation: the padded output is larger than the input,
                 # so the buffers can never alias)
                 self._pad = jax.jit(
                     blend_pallas.pad_images, static_argnums=(1, 2)
                 )
 
-    def _render(self, images_planar: jnp.ndarray) -> jnp.ndarray:
+    def _render(self, images_planar: jnp.ndarray):
+        """One frame -> views [V, C, H, W] u8, or (views, maps [2, H, W])
+        when the config enables the per-pixel focus map."""
+        if self._uses_focus_map:
+            cfg = self.cfg
+            method_key = "TEN" if cfg.method in ("TEN", "TEN_WM") else "STD"
+            return pipeline.render_all_focus(
+                images_planar, self.weights, self._offsets_j,
+                jnp.float32(cfg.focus), jnp.float32(cfg.focus_range),
+                self._ids, method=method_key, radius=self._radius,
+                filter_radius=self._filter_radius, steps=cfg.focus_steps,
+                pad=self._focus_pad, exact_taps=cfg.exact_focus_taps,
+                spread=self._spread,
+            )
         if self._use_pallas:
             px, py = self._bound
             if self._use_tiled:
-                tiled = shift_pallas.pad_to_tiles(images_planar)
+                tiled = (
+                    self._pad_tiles(images_planar)
+                    if self._needs_tile_pad else images_planar
+                )
                 return shift_pallas.render_fixed_tiled(
                     tiled, self.weights, self.focused,
                     h=self.height, w=self.width, px=px, py=py,
@@ -124,10 +182,18 @@ class StreamingRenderer:
             images_planar, self.weights, self.focused, method="STD"
         )
 
+    def _fetch_out(self, out):
+        if self._uses_focus_map:
+            views, maps = out
+            return np.asarray(blend_xla.from_planar(views)), np.asarray(maps)
+        return np.asarray(blend_xla.from_planar(out))
+
     def render_stream(
         self, frames: Iterable[np.ndarray]
     ) -> Iterator[np.ndarray]:
-        """Yield [V, H, W, 3] uint8 view stacks, one per input frame.
+        """Yield [V, H, W, 3] uint8 view stacks, one per input frame --
+        or ([V, H, W, 3] views, [2, H, W] maps) tuples when the config
+        enables the per-pixel focus map (focus_range > 0).
 
         Upload of frame t+1 overlaps the device render of frame t (JAX
         dispatch is async); host-side decode runs in a prefetch thread.
@@ -145,7 +211,7 @@ class StreamingRenderer:
 
         threading.Thread(target=_feeder, daemon=True).start()
 
-        pending: list[jnp.ndarray] = []  # dispatched, not yet fetched
+        pending: list = []  # dispatched, not yet fetched
         while True:
             item = host_q.get()
             if isinstance(item, BaseException):
@@ -155,10 +221,9 @@ class StreamingRenderer:
             pending.append(self._render(item))
             # Keep at most `prefetch` renders in flight; fetch the oldest.
             if len(pending) > self.prefetch:
-                out = pending.pop(0)
-                yield np.asarray(blend_xla.from_planar(out))
+                yield self._fetch_out(pending.pop(0))
         for out in pending:
-            yield np.asarray(blend_xla.from_planar(out))
+            yield self._fetch_out(out)
 
     def render_to_dir(
         self,
@@ -187,6 +252,8 @@ class StreamingRenderer:
         v_count = self.cfg.view_count
         digits = max(2, len(str(v_count - 1)))
         expected = [f"{i:0{digits}d}.png" for i in range(v_count)]
+        if self._uses_focus_map:
+            expected += ["map0.png", "map1.png"]
 
         def _complete(i: int) -> bool:
             # Check for the exact filenames write_views produces: counting
@@ -219,13 +286,15 @@ class StreamingRenderer:
                         pending_idx.append(i)
                         yield f
 
-            for views in self.render_stream(frame_gen()):
+            for out in self.render_stream(frame_gen()):
+                views, maps = out if self._uses_focus_map else (out, None)
                 i = pending_idx.pop(0)
                 futures.append(
                     pool.submit(
                         writer.write_views,
                         f"{output_dir}/frame_{i:05d}",
                         views,
+                        maps,
                         progress=False,
                     )
                 )

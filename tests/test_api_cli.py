@@ -211,3 +211,44 @@ def test_loader_single_image_grid(tmp_path, rng):
     lf = loader.load_light_field(str(d), progress=False)
     assert (lf.cols, lf.rows) == (1, 1)
     np.testing.assert_array_equal(lf.images[0], img)
+
+
+def test_cli_quilt_reference_shape(scene_dir, tmp_path):
+    """--quilt-reference requests the reference script's exact quilt
+    geometry: 5x9 tiles resized to 1080x1920 (scripts/viewsToQuilt.sh:2).
+    (The full-size assembly is exercised at small tile sizes below; here the
+    save is spied to keep the test light.)"""
+    from unittest import mock
+
+    from lfinterpolator_tpu.api import RenderResult
+
+    d, _, _ = scene_dir
+    out = str(tmp_path / "cli_quilt")
+    with mock.patch.object(
+        RenderResult, "save_quilt", return_value="quilt.png"
+    ) as spy:
+        rc = cli.main(
+            ["-i", d, "-o", out, "-t", "0.0,0.0,1.0,1.0", "-m", "STD",
+             "--quilt-reference", "--no-progress"]
+        )
+    assert rc == 0
+    assert spy.call_count == 1
+    assert spy.call_args.kwargs["tile_size"] == (1080, 1920)
+
+
+def test_cli_quilt_tile_flag(scene_dir, tmp_path, capsys):
+    d, _, (cols, rows) = scene_dir
+    out = str(tmp_path / "cli_quilt_tile")
+    rc = cli.main(
+        ["-i", d, "-o", out, "-t", "0.0,0.0,1.0,1.0", "-m", "STD",
+         "--quilt-tile", "24x32", "--no-progress"]
+    )
+    assert rc == 0
+    q = codec.decode(os.path.join(out, "quilt.png"))
+    assert q.shape[:2] == (9 * 24, 5 * 32)
+    rc = cli.main(
+        ["-i", d, "-o", out, "-t", "0.0,0.0,1.0,1.0", "-m", "STD",
+         "--quilt-tile", "junk", "--no-progress"]
+    )
+    assert rc == 1
+    assert "quilt-tile" in capsys.readouterr().err

@@ -140,3 +140,129 @@ def test_render_to_dir_resume_ignores_stray_pngs(tmp_path, rng):
     stats = sr.render_to_dir(iter(frames), out, resume=True)
     assert stats.skipped == 0
     assert (d / "00.png").exists() and (d / "01.png").exists()
+
+
+def test_stream_allfocus_matches_pipeline(rng):
+    """focus_range > 0 streams per-frame all-focus (views, maps) matching
+    the non-streaming pipeline (no silent fixed-focus downgrade)."""
+    import jax.numpy as jnp
+
+    from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import allfocus_pallas, blend_xla
+    from lfinterpolator_tpu.ops import focus as focus_ops
+
+    cols = rows = 2
+    h, w, v = 16, 32, 4
+    cfg = RenderConfig(
+        view_count=v, focus=0.1, focus_range=0.4,
+        focus_map_views=4, focus_steps=8,
+    )
+    frames = _frames(rng, 2, cols * rows, h, w)
+    sr = StreamingRenderer(cols, rows, w, h, "0.0,0.0,1.0,1.0", config=cfg)
+    assert sr._uses_focus_map
+    outs = list(sr.render_stream(iter(frames)))
+    assert len(outs) == 2
+
+    se = geometry.parse_trajectory("0.0,0.0,1.0,1.0", (cols, rows))
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    radius = geometry.block_radius(w, h, cfg.pixel_size_factor)
+    frad = (
+        radius[0] // cfg.filter_radius_divisor,
+        radius[1] // cfg.filter_radius_divisor,
+    )
+    ids = jnp.asarray(
+        geometry.select_focus_views(se, cols, rows, cfg.focus_map_views)
+    )
+    pad = focus_ops.shift_pad_bound(
+        offsets, cfg.focus, cfg.focus_range, radius, h, w
+    )
+    spread = allfocus_pallas.spread_bound(offsets, cfg.focus, cfg.focus_range)
+    for frame, (views, maps) in zip(frames, outs):
+        planar = blend_xla.to_planar(jnp.asarray(frame))
+        want_views, want_maps = pipeline.render_all_focus(
+            planar, jnp.asarray(wm), jnp.asarray(offsets),
+            jnp.float32(cfg.focus), jnp.float32(cfg.focus_range), ids,
+            method="STD", radius=radius, filter_radius=frad,
+            steps=cfg.focus_steps, pad=pad, spread=spread,
+        )
+        np.testing.assert_array_equal(maps, np.asarray(want_maps))
+        np.testing.assert_array_equal(
+            views, np.asarray(blend_xla.from_planar(want_views))
+        )
+
+
+def test_stream_allfocus_ten_kernel(rng, monkeypatch):
+    """The TEN all-focus stream (fused kernel in interpret mode) matches the
+    non-streaming TEN pipeline."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    import jax.numpy as jnp
+
+    from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import allfocus_pallas, blend_xla
+    from lfinterpolator_tpu.ops import focus as focus_ops
+
+    cols = rows = 2
+    h, w, v = 32, 256, 4
+    cfg = RenderConfig(
+        view_count=v, focus=0.1, focus_range=0.4, method="TEN",
+        focus_map_views=4, focus_steps=8,
+    )
+    frames = _frames(rng, 1, cols * rows, h, w)
+    sr = StreamingRenderer(cols, rows, w, h, "0.0,0.0,1.0,1.0", config=cfg)
+    ((views, maps),) = list(sr.render_stream(iter(frames)))
+
+    se = geometry.parse_trajectory("0.0,0.0,1.0,1.0", (cols, rows))
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    radius = geometry.block_radius(w, h, cfg.pixel_size_factor)
+    frad = (
+        radius[0] // cfg.filter_radius_divisor,
+        radius[1] // cfg.filter_radius_divisor,
+    )
+    ids = jnp.asarray(
+        geometry.select_focus_views(se, cols, rows, cfg.focus_map_views)
+    )
+    pad = focus_ops.shift_pad_bound(
+        offsets, cfg.focus, cfg.focus_range, radius, h, w
+    )
+    spread = allfocus_pallas.spread_bound(offsets, cfg.focus, cfg.focus_range)
+    planar = blend_xla.to_planar(jnp.asarray(frames[0]))
+    want_views, want_maps = pipeline.render_all_focus(
+        planar, jnp.asarray(wm), jnp.asarray(offsets),
+        jnp.float32(cfg.focus), jnp.float32(cfg.focus_range), ids,
+        method="TEN", radius=radius, filter_radius=frad,
+        steps=cfg.focus_steps, pad=pad, spread=spread,
+    )
+    np.testing.assert_array_equal(maps, np.asarray(want_maps))
+    np.testing.assert_array_equal(
+        views, np.asarray(blend_xla.from_planar(want_views))
+    )
+
+
+def test_render_to_dir_allfocus_writes_maps(tmp_path, rng):
+    frames = _frames(rng, 2, 4, 16, 32)
+    sr = StreamingRenderer(
+        2, 2, 32, 16, "0,0,1,1",
+        config=RenderConfig(
+            view_count=2, focus=0.0, focus_range=0.4,
+            focus_map_views=4, focus_steps=4,
+        ),
+    )
+    out = str(tmp_path / "af_stream")
+    stats = sr.render_to_dir(iter(frames), out)
+    assert stats.frames == 2
+    for i in range(2):
+        files = sorted(os.listdir(tmp_path / "af_stream" / f"frame_{i:05d}"))
+        assert files == ["00.png", "01.png", "map0.png", "map1.png"]
+    # resume treats map files as part of frame completeness
+    stats2 = sr.render_to_dir(iter(frames), out, resume=True)
+    assert stats2.skipped == 2
