@@ -243,9 +243,10 @@ def _af_kernel(
             rb4 = o // 4
             rr = o - 4 * rb4  # in [0, 4) for any sign of o
             z0r = pltpu.roll(winp[:, :], (rp_all - rb4 % rp_all) % rp_all, 0)
-            z1r = pltpu.roll(
-                winp[:, :], (rp_all - (rb4 + 1) % rp_all) % rp_all, 0
-            )
+            # z1r[k] = winp[k+rb4+1] = z0r[k+1]: a STATIC one-step roll of
+            # the already-rolled view -- the second dynamic window roll it
+            # replaces cost a full dynamic_rotate per level.
+            z1r = pltpu.roll(z0r, rp_all - 1, 0)
             sh = (8 * rr).astype(jnp.uint32)
             shl = ((32 - 8 * rr) % 32).astype(jnp.uint32)
             base = jnp.where(
@@ -255,7 +256,9 @@ def _af_kernel(
                 | jax.lax.shift_left(z1r, shl),
             )
             zm = base[0:nbp, :]  # byte k,i = img row r0+n_y-1 + 4k+i
-            bn = pltpu.roll(base, rp_all - 1, 0)[0:nbp, :]  # base[k+1]
+            # bn[k] = base[k+1]: a static sublane slice (in bounds because
+            # tbw = align32(tb+spread+16) >= tb+4, i.e. nbp+1 <= rp_all).
+            bn = base[1 : nbp + 1, :]
             z0v = jax.lax.shift_right_logical(zm, one8) | jax.lax.shift_left(
                 bn, jnp.uint32(24)
             )

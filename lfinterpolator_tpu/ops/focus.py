@@ -79,7 +79,8 @@ def shift_pad_bound(
 @partial(
     jax.jit,
     static_argnames=(
-        "radius", "steps", "pad", "row_count", "exact_taps", "tap_dtype"
+        "radius", "steps", "pad", "row_count", "exact_taps", "tap_dtype",
+        "sel_mode",
     ),
 )
 def estimate_focus_map(
@@ -94,6 +95,7 @@ def estimate_focus_map(
     row_count: int | None = None,
     exact_taps: bool = True,
     tap_dtype: str = "u8",
+    sel_mode: str = "where",
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
 
@@ -237,8 +239,19 @@ def estimate_focus_map(
         dys = jax.vmap(lambda f: trunc_offsets(qy, f))(fyi)[:, None]
         dxs = jax.vmap(lambda f: trunc_offsets(qx, f))(fxi)[:, None]
 
-        def sel(d, minus, base, plus):
-            return jnp.where(d == 1, plus, jnp.where(d == -1, minus, base))
+        if sel_mode == "bitwise" and tdt == jnp.uint8:
+            # 3-way select as u8 bitwise mask arithmetic: XLA:TPU runs
+            # where() at i32 vector density even for u8 operands, but pure
+            # bitwise and/or legalize at full u8 density; the masks are
+            # built once per candidate on tiny broadcastable shapes.
+            def sel(d, minus, base, plus):
+                m1 = (d == 1).astype(jnp.uint8) * jnp.uint8(255)
+                m2 = (d == -1).astype(jnp.uint8) * jnp.uint8(255)
+                m0 = (m1 | m2) ^ jnp.uint8(255)
+                return (plus & m1) | (minus & m2) | (base & m0)
+        else:
+            def sel(d, minus, base, plus):
+                return jnp.where(d == 1, plus, jnp.where(d == -1, minus, base))
 
         cost = jnp.zeros((h_out, w), jnp.int16)
         for sy in (-ry, 0, ry):

@@ -76,6 +76,51 @@ def blend_fixed(
     return _round_nearest_even_u8(acc)
 
 
+def blend_fixed_fp16acc(
+    images: np.ndarray,  # [G, H, W, C>=3] uint8
+    weights_f16: np.ndarray,  # [V, G] float16
+    offsets_px: np.ndarray,  # [G, 2] int32 (dx, dy)
+    batch: int = 16,
+) -> np.ndarray:
+    """TEN_WM **half-accumulation** emulation (Tensors::process: the WMMA
+    accumulator fragments are half, src/kernels.cu:420-425, one mma_sync per
+    16-image batch, src/kernels.cu:432-448).
+
+    Model: pixels and weights are half before the product (the CUDA kernel
+    stages both as half, src/kernels.cu:372-385, 436-437); each 16-image mma
+    step's dot is computed at full precision (tensor cores sum the step's K
+    products in a wide accumulator); the add into the running half
+    accumulator rounds to nearest-even fp16 once per step. Output conversion
+    matches __float2int_rn.
+
+    This is NOT a path the TPU build renders with -- every production path
+    accumulates in f32 (strictly more precise than the reference tensor
+    kernel). It exists so users comparing against the actual CUDA binary's
+    TEN_WM output can separate *expected* fp16 accumulation loss from real
+    divergence (see the PARITY.md row quantifying the PSNR of f32-vs-fp16
+    accumulation at the gate config). Returns [V, H, W, 3] uint8.
+    """
+    g_count, h, w = images.shape[:3]
+    v_count = weights_f16.shape[0]
+    acc = np.zeros((v_count, h, w, 3), dtype=np.float16)
+    wh = weights_f16.astype(np.float16)
+    for b0 in range(0, g_count, batch):
+        idx = range(b0, min(b0 + batch, g_count))
+        shifted = np.stack([
+            _shift_clamped(
+                images[g, :, :, :3], offsets_px[g, 1], offsets_px[g, 0]
+            ).astype(np.float16)
+            for g in idx
+        ])  # [B, H, W, 3] (u8 values are exact in fp16)
+        part = np.einsum(
+            "vb,bhwc->vhwc",
+            wh[:, list(idx)].astype(np.float32),
+            shifted.astype(np.float32),
+        )
+        acc = (acc.astype(np.float32) + part).astype(np.float16)
+    return _round_nearest_even_u8(acc.astype(np.float32))
+
+
 def focus_values_from_map(
     focus_map: np.ndarray, focus: float, focus_range: float
 ) -> np.ndarray:

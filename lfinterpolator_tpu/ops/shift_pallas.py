@@ -150,7 +150,7 @@ def _shift_kernel(
     q = delta // 4
     rr = delta - 4 * q  # in [0, 4) for any (possibly negative) delta
     z0 = pltpu.roll(A, (R - q % R) % R, 0)  # z0[k] = A[k+q]
-    z1 = pltpu.roll(A, (R - (q + 1) % R) % R, 0)  # A[k+q+1]
+    z1 = pltpu.roll(z0, R - 1, 0)  # A[k+q+1]: STATIC one-step roll of z0
     sh = (8 * rr).astype(jnp.uint32)
     shl = ((32 - 8 * rr) % 32).astype(jnp.uint32)  # no UB shift when rr==0
     mix = jax.lax.shift_right_logical(z0, sh) | jax.lax.shift_left(z1, shl)
@@ -312,7 +312,7 @@ def _pshift_kernel(
     q = r_res // 4
     rr = r_res - 4 * q
     z0 = pltpu.roll(A, (R - q % R) % R, 0)  # z0[k] = A[k+q]
-    z1 = pltpu.roll(A, (R - (q + 1) % R) % R, 0)  # A[k+q+1]
+    z1 = pltpu.roll(z0, R - 1, 0)  # A[k+q+1]: STATIC one-step roll of z0
     sh = 8 * rr
     shl = (32 - sh) % 32  # avoid an UB shift-by-32 when rr == 0
     mix = jax.lax.shift_right_logical(z0, sh.astype(jnp.uint32)) | jax.lax.shift_left(

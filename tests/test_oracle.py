@@ -115,3 +115,25 @@ def test_focus_map_filter_window_is_asymmetric():
     expected = np.zeros((4, 4), dtype=np.uint8)
     expected[2:4, 2:4] = 25
     np.testing.assert_array_equal(out, expected)
+
+
+def test_blend_fixed_fp16acc_quantifies_half_loss(rng):
+    """The TEN_WM half-accumulation emulation diverges measurably from the
+    f32 oracle (the expected fp16 loss users of the CUDA binary see) while
+    staying visually close."""
+    from lfinterpolator_tpu.core import geometry
+    from lfinterpolator_tpu.utils.metrics import psnr
+
+    g, h, w, v = 64, 48, 64, 64
+    images = rng.integers(0, 256, size=(g, h, w, 4), dtype=np.uint8)
+    se = np.array([0.0, 0.0, 7.0, 7.0], np.float32)
+    wm = geometry.quantize_weights_f16(geometry.weight_matrix(se, 8, 8, 3.0, v))
+    offsets = geometry.compute_offsets(8, 8, w, h, 1.0, geometry.trajectory_center(se))
+    fo = geometry.focused_offsets(offsets, 0.25)
+    full = oracle.blend_fixed(images, wm, fo)
+    half = oracle.blend_fixed_fp16acc(images, wm, fo)
+    assert half.shape == full.shape
+    d = np.abs(half.astype(int) - full.astype(int))
+    assert d.max() >= 1  # the fp16 loss is real...
+    assert d.max() <= 4  # ...but bounded (ulp(255) in fp16 = 0.25 per step)
+    assert psnr(half, full) > 45.0
