@@ -230,9 +230,10 @@ def bench_c3():
     radius = geometry.block_radius(w, h)
     frad = (radius[0] // 10, radius[1] // 10)
     pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
-    from lfinterpolator_tpu.ops import allfocus_pallas
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
 
     spread = allfocus_pallas.spread_bound(offsets, 0.1, 0.3)
+    spans = estimate_pallas.chunk_spans(offsets, 0.1, 0.3, 32, 4)
     weights = jnp.asarray(wm)
     offj = jnp.asarray(offsets)
 
@@ -241,7 +242,7 @@ def bench_c3():
             planar, weights, offj,
             jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
             method="TEN", radius=radius, filter_radius=frad, steps=32, pad=pad,
-            spread=spread,
+            spread=spread, spans=spans,
         )
 
     per = _throughput(step, max(4, RUNS // 8))

@@ -233,10 +233,13 @@ class Interpolator:
             pad = focus_ops.shift_pad_bound(
                 offsets, cfg.focus, cfg.focus_range, radius, lf.height, lf.width
             )
-            from .ops import allfocus_pallas
+            from .ops import allfocus_pallas, estimate_pallas
 
             spread = allfocus_pallas.spread_bound(
                 offsets, cfg.focus, cfg.focus_range
+            )
+            spans = estimate_pallas.chunk_spans(
+                offsets, cfg.focus, cfg.focus_range, cfg.focus_steps, 4
             )
             if progress:
                 print("Estimating focus map...")
@@ -251,6 +254,7 @@ class Interpolator:
                     filter_radius=filter_radius,
                     steps=cfg.focus_steps,
                     pad=pad,
+                    spans=spans,
                 )
                 if self.mesh is not None:
                     from .parallel import mesh as pmesh

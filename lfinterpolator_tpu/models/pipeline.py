@@ -49,7 +49,7 @@ def render_fixed_focus(
     jax.jit,
     static_argnames=(
         "method", "radius", "filter_radius", "steps", "pad", "exact_taps",
-        "spread",
+        "spread", "spans",
     ),
 )
 def render_all_focus(
@@ -67,6 +67,7 @@ def render_all_focus(
     pad: tuple[int, int] | None = None,
     exact_taps: bool = True,
     spread: int | None = None,
+    spans: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All-in-focus render: estimate -> filter -> per-pixel blend.
 
@@ -74,7 +75,10 @@ def render_all_focus(
     the pre-padded fast path of the estimator). `spread` is the static
     row-span bound from allfocus_pallas.spread_bound; when given (and a TPU
     is available), the TEN per-pixel blend runs through the fused Pallas
-    allFocus kernel instead of the XLA per-level scan.
+    allFocus kernel instead of the XLA per-level scan. `spans` is the
+    static chunk-span bound from estimate_pallas.chunk_spans; when given,
+    the exact estimate runs through the fused SWAR estimate kernel
+    (bit-identical, ~1.9x).
 
     The per-pixel blend keeps the reference's map asymmetry
     (src/kernels.cu:326 vs :430): STD blends with the FILTERED map, whose
@@ -92,7 +96,7 @@ def render_all_focus(
     sel_offsets = offsets[focus_ids]
     map0 = focus_ops.estimate_focus_map(
         selected, sel_offsets, focus, focus_range, radius,
-        steps=steps, pad=pad, exact_taps=exact_taps,
+        steps=steps, pad=pad, exact_taps=exact_taps, spans=spans,
     )
     map1 = focus_ops.filter_focus_map(map0, filter_radius)
     g, c, h, w = images.shape

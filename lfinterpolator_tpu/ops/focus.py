@@ -80,7 +80,7 @@ def shift_pad_bound(
     jax.jit,
     static_argnames=(
         "radius", "steps", "pad", "row_count", "exact_taps", "tap_dtype",
-        "sel_mode",
+        "sel_mode", "spans",
     ),
 )
 def estimate_focus_map(
@@ -96,6 +96,7 @@ def estimate_focus_map(
     exact_taps: bool = True,
     tap_dtype: str = "u8",
     sel_mode: str = "where",
+    spans: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
 
@@ -126,6 +127,12 @@ def estimate_focus_map(
     `row_start`/`row_count` restrict the output to a block of rows (used by
     spatially-sharded rendering; requires `pad`). `row_start` may be traced.
 
+    `spans` is the static per-candidate-chunk shift-span bound from
+    estimate_pallas.chunk_spans (host-side, from concrete offsets). When
+    given (and a TPU is available, exact taps, padded path), the estimate
+    runs through the fused sublane-packed SWAR Pallas kernel -- measured
+    ~1.9x the XLA sweep at 8x8/1080p/K=32/steps=32, bit-identical.
+
     Returns [row_count or H, W] uint8: round((best_focus - focus)/range * 255).
     """
     k, c, h, w = selected.shape
@@ -135,6 +142,21 @@ def estimate_focus_map(
     elif pad is None:
         raise ValueError("row blocks require the padded fast path (pass pad=)")
     h_out = int(row_count)
+
+    if spans is not None and exact_taps and pad is not None:
+        from . import estimate_pallas
+        from .blend_pallas import is_available
+
+        if is_available() and estimate_pallas.supports(
+            h_out, w, k, steps, (rx, ry), spans[0], spans[1]
+        ):
+            return estimate_pallas.estimate_fused(
+                selected, sel_offsets, focus, focus_range,
+                h_out=h_out, w=w, radius=(rx, ry), steps=steps,
+                px=int(pad[0]), py=int(pad[1]),
+                span_y=int(spans[0]), span_x=int(spans[1]),
+                row_start=row_start,
+            )[:h_out, :w]
     row_start = jnp.asarray(row_start, jnp.int32)
     focus = jnp.asarray(focus, jnp.float32)
     focus_range = jnp.asarray(focus_range, jnp.float32)

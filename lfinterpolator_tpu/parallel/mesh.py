@@ -153,7 +153,7 @@ def render_fixed_sharded_pallas(
     jax.jit,
     static_argnames=(
         "mesh", "method", "radius", "filter_radius", "steps", "pad",
-        "exact_taps", "spread",
+        "exact_taps", "spread", "spans",
     ),
 )
 def render_all_focus_sharded(
@@ -172,6 +172,7 @@ def render_all_focus_sharded(
     pad: tuple[int, int] = (64, 64),
     exact_taps: bool = True,
     spread: int | None = None,
+    spans: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full all-in-focus pipeline over the (view x space) mesh.
 
@@ -199,7 +200,7 @@ def render_all_focus_sharded(
         map0_l = focus_ops.estimate_focus_map(
             selected, sel_offsets, focus, focus_range, radius,
             steps=steps, pad=pad, row_start=row0, row_count=h_local,
-            exact_taps=exact_taps,
+            exact_taps=exact_taps, spans=spans,
         )
         # Only cross-shard dependency: the filter halo. The map is tiny.
         map0_full = jax.lax.all_gather(map0_l, "space", tiled=True)

@@ -94,7 +94,8 @@ class StreamingRenderer:
             # blend every frame (reference flow per run:
             # src/interpolator.cu:261-266). All bounds are static across
             # frames, so every frame reuses one compiled program.
-            from .ops import allfocus_pallas, focus as focus_ops
+            from .ops import allfocus_pallas, estimate_pallas
+            from .ops import focus as focus_ops
 
             cfg = self.cfg
             self._radius = geometry.block_radius(
@@ -115,6 +116,9 @@ class StreamingRenderer:
             )
             self._spread = allfocus_pallas.spread_bound(
                 offsets, cfg.focus, cfg.focus_range
+            )
+            self._spans = estimate_pallas.chunk_spans(
+                offsets, cfg.focus, cfg.focus_range, cfg.focus_steps, 4
             )
             self._offsets_j = jnp.asarray(offsets)
         self._use_pallas = (
@@ -160,7 +164,7 @@ class StreamingRenderer:
                 self._ids, method=method_key, radius=self._radius,
                 filter_radius=self._filter_radius, steps=cfg.focus_steps,
                 pad=self._focus_pad, exact_taps=cfg.exact_focus_taps,
-                spread=self._spread,
+                spread=self._spread, spans=self._spans,
             )
         if self._use_pallas:
             px, py = self._bound

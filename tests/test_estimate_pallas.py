@@ -1,0 +1,134 @@
+"""Fused SWAR focus-estimate kernel vs the XLA exact sweep (interpret mode).
+
+The kernel is documented bit-identical to
+focus.estimate_focus_map(exact_taps=True, pad=...); these tests assert
+exact equality across geometries, focus signs, odd view counts, and
+sharded row blocks. Chip-scale validation + timing live in the PARITY
+notes (258.6 -> (pairwise) ms vs 482.6 ms XLA at 8x8/1080p/K=32/steps=32).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lfinterpolator_tpu.core import geometry
+from lfinterpolator_tpu.ops import estimate_pallas as ep
+from lfinterpolator_tpu.ops import focus as focus_ops
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+
+
+def _setup(rng, cols, rows, h, w, K, focus, frange, radius, aspect=1.3):
+    se = np.array([0, 0, cols - 1.0, rows - 1.0], np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, aspect, geometry.trajectory_center(se)
+    )
+    ids = np.asarray(geometry.select_focus_views(se, cols, rows, K))
+    pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
+    sel_img = jnp.asarray(rng.integers(0, 256, (K, 3, h, w), dtype=np.uint8))
+    sel_off = jnp.asarray(offsets)[jnp.asarray(ids)]
+    return offsets, pad, sel_img, sel_off
+
+
+def _compare(rng, cols, rows, h, w, K, steps, focus, frange, radius,
+             row=None):
+    offsets, pad, sel_img, sel_off = _setup(
+        rng, cols, rows, h, w, K, focus, frange, radius
+    )
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    rs, rc = (0, h) if row is None else row
+    assert ep.supports(rc, w, K, steps, radius, spans[0], spans[1])
+    want = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), radius,
+        steps=steps, pad=pad, exact_taps=True, row_start=rs, row_count=rc,
+    )
+    got = ep.estimate_fused(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+        h_out=rc, w=w, radius=radius, steps=steps,
+        px=pad[0], py=pad[1], span_y=spans[0], span_x=spans[1],
+        row_start=rs,
+    )[:rc, :w]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_estimate_base(rng):
+    _compare(rng, 4, 4, 64, 384, 8, 8, 0.1, 0.4, (4, 2))
+
+
+def test_fused_estimate_negative_focus(rng):
+    _compare(rng, 4, 4, 64, 384, 8, 8, -0.3, 0.5, (4, 2))
+
+
+def test_fused_estimate_odd_view_count(rng):
+    _compare(rng, 4, 4, 64, 384, 7, 8, 0.1, 0.4, (4, 2))
+
+
+def test_fused_estimate_big_radius(rng):
+    _compare(rng, 4, 4, 96, 512, 8, 16, 0.0, 0.6, (10, 6))
+
+
+def test_fused_estimate_row_block(rng):
+    _compare(rng, 4, 4, 64, 384, 8, 8, 0.1, 0.4, (4, 2), row=(24, 32))
+
+
+def test_fused_estimate_unaligned_sizes(rng):
+    _compare(rng, 4, 4, 52, 300, 8, 8, 0.1, 0.4, (4, 2))
+
+
+def test_estimate_focus_map_routes_to_fused(rng, monkeypatch):
+    """estimate_focus_map(spans=...) takes the fused kernel (spied) and
+    returns the identical map."""
+    from unittest import mock
+
+    cols = rows = 4
+    h, w, K, steps = 64, 384, 8, 8
+    focus, frange, radius = 0.1, 0.4, (4, 2)
+    offsets, pad, sel_img, sel_off = _setup(
+        rng, cols, rows, h, w, K, focus, frange, radius
+    )
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    plain = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), radius,
+        steps=steps, pad=pad,
+    )
+    with mock.patch.object(ep, "estimate_fused", wraps=ep.estimate_fused) as spy:
+        routed = focus_ops.estimate_focus_map(
+            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+            radius, steps=steps, pad=pad, spans=spans,
+        )
+        assert spy.call_count == 1
+    np.testing.assert_array_equal(np.asarray(routed), np.asarray(plain))
+
+
+def test_pipeline_all_focus_with_spans(rng, small_lf):
+    """The full all-focus pipeline with spans matches the XLA-estimate run
+    exactly (maps and views)."""
+    from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import blend_xla
+
+    images, (cols, rows) = small_lf
+    h, w = images.shape[1:3]
+    se = np.array([0, 0, cols - 1.0, rows - 1.0], np.float32)
+    v = 4
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    ids = jnp.asarray(geometry.select_focus_views(se, cols, rows, 8))
+    radius = (2, 2)
+    pad = focus_ops.shift_pad_bound(offsets, 0.0, 0.5, radius, h, w)
+    spans = ep.chunk_spans(offsets, 0.0, 0.5, 8, 4)
+    planar = blend_xla.to_planar(jnp.asarray(images))
+    args = (planar, jnp.asarray(wm), jnp.asarray(offsets),
+            jnp.float32(0.0), jnp.float32(0.5), ids)
+    kw = dict(method="STD", radius=radius, filter_radius=(1, 1), steps=8,
+              pad=pad)
+    want_v, want_m = pipeline.render_all_focus(*args, **kw)
+    got_v, got_m = pipeline.render_all_focus(*args, spans=spans, **kw)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
