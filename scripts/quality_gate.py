@@ -66,11 +66,13 @@ def main() -> int:
     frad = (radius[0] // 10, radius[1] // 10)
     ids = geometry.select_focus_views(se, cols, rows, min(32, cols * rows))
     pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
-    from lfinterpolator_tpu.ops import allfocus_pallas
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
 
-    # routes the TEN per-pixel blend through the fused allFocus kernel on
-    # TPU/interpret (the XLA fallback is gated by the same calls without it)
+    # routes the TEN per-pixel blend through the fused allFocus kernel and
+    # the exact estimate through the fused SWAR kernel on TPU/interpret
+    # (the XLA fallbacks are gated by the same calls without them)
     spread = allfocus_pallas.spread_bound(offsets, focus, frange)
+    spans = estimate_pallas.chunk_spans(offsets, focus, frange, 32, 4)
 
     planar = blend_xla.to_planar(jnp.asarray(images))
     weights = jnp.asarray(wm.astype(np.float32))
@@ -103,7 +105,7 @@ def main() -> int:
             planar, weights, offj,
             jnp.float32(focus), jnp.float32(frange), jnp.asarray(ids),
             method=method, radius=radius, filter_radius=frad, steps=32, pad=pad,
-            spread=spread if method == "TEN" else None,
+            spread=spread if method == "TEN" else None, spans=spans,
         )
         got = np.asarray(blend_xla.from_planar(views))
         results[f"allfocus/{method}"] = metrics.psnr(got, want)
