@@ -89,8 +89,12 @@ def test_sharded_rejects_bad_row_split(devices):
         pmesh.render_fixed_sharded(m, imgs_d, w_d, jnp.asarray(fo))
 
 
-def test_sharded_all_focus_matches_unsharded(devices, small_lf):
+def test_sharded_all_focus_matches_unsharded(devices, small_lf, monkeypatch):
+    """Sharded pipeline == unsharded, with the fused SWAR estimate routed
+    on both sides (interpret mode) when the geometry supports it."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
     from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import estimate_pallas
     from lfinterpolator_tpu.ops import focus as focus_ops
     from lfinterpolator_tpu.core import geometry
 
@@ -107,9 +111,10 @@ def test_sharded_all_focus_matches_unsharded(devices, small_lf):
     ids = geometry.select_focus_views(se, cols, rows, 8)
     radius, frad, steps = (2, 2), (1, 1), 8
     pad = focus_ops.shift_pad_bound(offsets, 0.0, 0.5, radius, h, w)
+    spans = estimate_pallas.chunk_spans(offsets, 0.0, 0.5, steps, 4)
 
     planar = blend_xla.to_planar(jnp.asarray(images))
-    args = dict(radius=radius, filter_radius=frad, steps=steps)
+    args = dict(radius=radius, filter_radius=frad, steps=steps, spans=spans)
     for method in ("STD", "TEN"):
         want_views, want_maps = pipeline.render_all_focus(
             planar, jnp.asarray(wm), jnp.asarray(offsets),
