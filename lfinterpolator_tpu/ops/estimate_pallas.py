@@ -305,28 +305,17 @@ def _est_kernel(
         m2, axb2 = _swar_ge(mn, mn_new)   # mn >= new ?
         accs[2 * cell] = mn ^ (axb2 & m2)
 
-    def pair_body(p, _):
-        # pairwise tree: minmax(tap_a, tap_b) with ONE shared compare, then
-        # one min- and one max-update -- 3 SWAR compares per 2 views per
-        # cell instead of 4
-        ta = compute_taps(2 * p)
-        tb_ = compute_taps(2 * p + 1)
+    def view_body(kv, _):
+        # one view per iteration; a pairwise minmax tree (3 SWAR compares
+        # per 2 views instead of 4) measured SLOWER (265 vs 259 ms at the
+        # 8x8/1080p config): the 18 extra live tap registers cost more in
+        # scheduling than the saved compares
+        tt = compute_taps(kv)
         for cell in range(9):
-            m, axb = _swar_ge(ta[cell], tb_[cell])  # a >= b ?
-            mx12 = tb_[cell] ^ (axb & m)
-            mn12 = ta[cell] ^ (axb & m)
-            acc_minmax(cell, mn12, mx12)
+            acc_minmax(cell, tt[cell], tt[cell])
         return 0
 
-    lax.fori_loop(0, k_views // 2, pair_body, 0)
-    if k_views % 2:
-        def tail_body(_, __):
-            tt = compute_taps(k_views - 1)
-            for cell in range(9):
-                acc_minmax(cell, tt[cell], tt[cell])
-            return 0
-
-        lax.fori_loop(0, 1, tail_body, 0)
+    lax.fori_loop(0, k_views, view_body, 0)
 
     # ---- per-cell range, channel max ----
     for cell in range(9):
