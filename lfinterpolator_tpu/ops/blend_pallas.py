@@ -201,6 +201,100 @@ def blend_flat(
     )(flat, weights)
 
 
+def _pick_wchunk(w128: int, g: int, v: int) -> int:
+    """Largest 128-multiple divisor of w128 fitting the tiled blend's VMEM
+    working set: double-buffered 8-row u8 in/out blocks per image/view plus
+    ~4 packed-f32 temporaries of the wider side."""
+    per_lane = 8 * (2 * g + 2 * v + 4 * max(g, v))
+    cap = max(128, (10 * 1024 * 1024) // per_lane // 128 * 128)
+    for size in range(min(cap, w128) // 128 * 128, 127, -128):
+        if w128 % size == 0:
+            return size
+    return w128  # w128 < 128 never occurs (inputs are lane-aligned)
+
+
+def _blend_tiled_kernel(w2_ref, x_ref, out_ref):
+    # Blend an 8-row band of every image in the SUBLANE-PACKED u32 view of
+    # the shift kernels' native [G, C, H8, W128] tiling: bitcast packs 4
+    # consecutive rows per lane, so the band is [G*2, wchunk] u32 and ONE
+    # [V*2, G*2] matmul per byte plane blends all 8 rows. The weight operand
+    # is kron(W, I_2), which preserves packed-row parity (see blend_tiled).
+    # No strided ops, no relayout on either side.
+    g = x_ref.shape[0]
+    v = out_ref.shape[0]
+    wchunk = x_ref.shape[3]
+    x = x_ref[:, 0, :, :].reshape(g * 8, wchunk)
+    p = pltpu.bitcast(x, jnp.uint32)  # [G*2, wchunk]
+    w2 = w2_ref[:, :]  # [V*2, G*2] = kron(W, I_2)
+    ff = jnp.uint32(0xFF)
+    parts = []
+    for b in range(4):
+        byte = jax.lax.shift_right_logical(p, jnp.uint32(8 * b)) & ff
+        a = byte.astype(jnp.int32).astype(jnp.float32)
+        acc = jnp.dot(w2, a, preferred_element_type=jnp.float32)
+        q = (
+            jnp.clip(jnp.round(acc), 0, 255)
+            .astype(jnp.int32)
+            .astype(jnp.uint32)
+        )
+        parts.append(jax.lax.shift_left(q, jnp.uint32(8 * b)))
+    word = (parts[0] | parts[1]) | (parts[2] | parts[3])  # [V*2, wchunk]
+    out_ref[:, 0, :, :] = pltpu.bitcast(word, jnp.uint8).reshape(v, 8, wchunk)
+
+
+@jax.jit
+def blend_tiled(
+    x4: jnp.ndarray,  # [G, C, H8, W128] uint8 (a shift kernel's output)
+    weights: jnp.ndarray,  # [V, G] float32
+) -> jnp.ndarray:
+    """Multi-view blend straight on the 4D tiling -> [V, C, H8, W128] u8.
+
+    Reads the shift kernels' native [G, C, H8, W128] output tiling and
+    writes the blended views in the SAME tiling, so the structural XLA
+    relayout copies on both sides of the flat blend (~1.2 ms at 1080p,
+    ~4.8 ms at 4K: the flat [G, L] tiling packs 8 images per sublane tile,
+    the 4D tiling packs image rows, and Mosaic cannot store one layout from
+    a kernel reading the other) fold away entirely. Measured 6.68 -> 4.10
+    ms end-to-end per 1080p/64-view frame vs the flat route on v5e.
+
+    Numerics: same u8 x f32 -> round-half-even class as blend_flat
+    (reference: src/kernels.cu:301-310). The kron(W, I_2) contraction adds
+    only zero-product operand slots, so it changes the f32 accumulation
+    ORDER but not the exact sum of products -- bit-identical to blend_flat
+    under sequential (interpret-mode) accumulation and within the
+    documented <=1 LSB accumulation-order class on the MXU.
+    """
+    g, c, h8, w128 = x4.shape
+    v = weights.shape[0]
+    w2 = jnp.kron(weights, jnp.eye(2, dtype=weights.dtype))
+    wchunk = _pick_wchunk(w128, g, v)
+    return pl.pallas_call(
+        _blend_tiled_kernel,
+        grid=(c, h8 // 8, w128 // wchunk),
+        in_specs=[
+            pl.BlockSpec(
+                (2 * v, 2 * g), lambda ci, bi, li: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g, 1, 8, wchunk), lambda ci, bi, li: (0, ci, bi, li),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (v, 1, 8, wchunk), lambda ci, bi, li: (0, ci, bi, li),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((v, c, h8, w128), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * v * g * c * h8 * w128,  # 2x the flat blend: MXU fill
+            bytes_accessed=(g + v) * c * h8 * w128,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(w2, x4)
+
+
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "px", "py", "row_count")
 )
@@ -229,19 +323,21 @@ def render_fixed_padded(
     from . import shift_pallas
 
     if is_available() and shift_pallas.supports_padded(h, w, row_count=h_out):
-        # borderless Pallas shift: ~2.4 ms vs the XLA unaligned
-        # dynamic-slice's 2.9 ms at the headline config (see
-        # shift_flat_padded); bit-identical
-        flat = shift_pallas.shift_flat_padded(
+        # borderless Pallas shift (2.19 ms vs the XLA unaligned
+        # dynamic-slice's ~2.75 at the headline config) feeding the
+        # same-tiling blend_tiled -- no structural relayout copy on either
+        # side (6.68 -> 4.10 ms/frame measured end-to-end at 1080p/64v)
+        x4 = shift_pallas.shift_padded_4d(
             padded, focused_offsets, px=px, py=py, h=h, w=w,
             row_start=row_start, row_count=h_out,
         )
+        out = blend_tiled(x4, weights)
     else:
         flat = preshift_flat(
             padded, focused_offsets, px=px, py=py, h=h, w=w,
             row_start=row_start, row_count=h_out,
         )
-    out = blend_flat(flat, weights).reshape(v, c, h_al, w_al)
+        out = blend_flat(flat, weights).reshape(v, c, h_al, w_al)
     if (h_al, w_al) != (h_out, w):
         out = out[:, :, :h_out, :w]
     return out

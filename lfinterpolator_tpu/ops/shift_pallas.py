@@ -195,7 +195,7 @@ def _shift_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
-def shift_flat_tiled(
+def shift_tiled_4d(
     tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (from pad_to_tiles)
     focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy), traced
     *,
@@ -204,12 +204,14 @@ def shift_flat_tiled(
     px: int,
     py: int,
 ) -> jnp.ndarray:
-    """Clamp-shift every image -> flat [G, C*H8*W128] uint8.
+    """Clamp-shift every image -> [G, C, H8, W128] uint8 (native tiling).
 
     Bit-identical to blend_pallas.preshift_flat(pad_images(raw), ...): shifts
     are clipped to (+-px, +-py), which preserves semantics because the caller
     derives the bounds from the actual focus range (shift_bound) and any
-    shift >= the image size saturates the clamp anyway.
+    shift >= the image size saturates the clamp anyway. Feed the result to
+    blend_pallas.blend_tiled (same tiling, no relayout); reshaping it flat
+    for blend_flat costs a structural XLA relayout copy (~1.2 ms/1080p).
     """
     g, c, h8, w128 = tiled.shape
     tb = _pick_tb(h8, w128, max_window=h8)
@@ -245,7 +247,25 @@ def shift_flat_tiled(
         ),
         interpret=_interpret(),
     )(dyx, tiled)
-    return out.reshape(g, c * h8 * w128)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "px", "py"))
+def shift_flat_tiled(
+    tiled: jnp.ndarray,
+    focused_offsets: jnp.ndarray,
+    *,
+    h: int,
+    w: int,
+    px: int,
+    py: int,
+) -> jnp.ndarray:
+    """shift_tiled_4d reshaped to the flat [G, C*H8*W128] blend layout
+    (incurs the structural relayout copy; prefer the 4D route)."""
+    g, c, h8, w128 = tiled.shape
+    return shift_tiled_4d(
+        tiled, focused_offsets, h=h, w=w, px=px, py=py
+    ).reshape(g, c * h8 * w128)
 
 
 def _pshift_kernel(
@@ -326,7 +346,7 @@ def _pshift_kernel(
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "px", "py", "row_count")
 )
-def shift_flat_padded(
+def shift_padded_4d(
     padded: jnp.ndarray,  # [G, C, H+2py+48, W+2px+256] uint8 (pad_images)
     focused_offsets: jnp.ndarray,  # [G, 2] int32 (dx, dy), traced
     *,
@@ -337,19 +357,20 @@ def shift_flat_padded(
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
 ) -> jnp.ndarray:
-    """Clamp-shift from a pre-padded stack -> flat [G, C*H8*W128] uint8.
+    """Clamp-shift from a pre-padded stack -> [G, C, H8, W128] uint8.
 
-    Bit-identical to blend_pallas.preshift_flat, but runs as a Pallas
-    kernel: one tile-aligned window DMA per (image, channel, band) plus two
-    residual rolls in the sublane-packed u32 view -- no border work at all
-    (the pad encodes the clamp). Measured 2.19 ms true at 8x8/1080p/64v
-    (widened-i32 rolls: 3.0; the XLA unaligned dynamic-slice: ~2.75;
-    aligned-copy floor: ~1.2 at the chip's ~670 GB/s). The remaining
-    end-to-end gap is an XLA-inserted ~1.2 ms relayout copy between this
-    kernel's [g,c,h8,w128] output tiling (image rows on sublanes) and the
-    blend's [g, L] operand tiling (8 images per sublane tile) -- Mosaic
-    cannot emit the merged layout directly (in-kernel sublane-to-lane
-    reshape stores crash the compiler).
+    Bit-identical to blend_pallas.preshift_flat (modulo the flat reshape),
+    but runs as a Pallas kernel: one tile-aligned window DMA per (image,
+    channel, band) plus two residual rolls in the sublane-packed u32 view
+    -- no border work at all (the pad encodes the clamp). Measured 2.19 ms
+    true at 8x8/1080p/64v (widened-i32 rolls: 3.0; the XLA unaligned
+    dynamic-slice: ~2.75; aligned-copy floor: ~1.2 at the chip's ~670
+    GB/s). Feed the output to blend_pallas.blend_tiled, which consumes
+    this tiling natively; reshaping it flat for blend_flat costs an
+    XLA-inserted ~1.2 ms relayout copy (the flat [g, L] tiling packs 8
+    images per sublane tile, this one packs image rows, and Mosaic cannot
+    emit the merged layout directly -- in-kernel sublane-to-lane reshape
+    stores crash the compiler).
     """
     g, c = padded.shape[:2]
     h_out = h if row_count is None else int(row_count)
@@ -388,7 +409,32 @@ def shift_flat_padded(
         ),
         interpret=_interpret(),
     )(dyx, rs, padded)
-    return out.reshape(g, c * h8 * w128)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "px", "py", "row_count")
+)
+def shift_flat_padded(
+    padded: jnp.ndarray,
+    focused_offsets: jnp.ndarray,
+    *,
+    h: int,
+    w: int,
+    px: int,
+    py: int,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
+) -> jnp.ndarray:
+    """shift_padded_4d reshaped to the flat [G, C*H8*W128] blend layout
+    (incurs the structural relayout copy; prefer the 4D route)."""
+    g, c = padded.shape[:2]
+    h_out = h if row_count is None else int(row_count)
+    h8, w128 = _align(h_out, 8), _align(w, 128)
+    return shift_padded_4d(
+        padded, focused_offsets, h=h, w=w, px=px, py=py,
+        row_start=row_start, row_count=row_count,
+    ).reshape(g, c * h8 * w128)
 
 
 def supports_padded(h: int, w: int, row_count: int | None = None) -> bool:
@@ -439,14 +485,13 @@ def render_fixed_tiled(
     Single-jit shift + MXU blend; same numerics as render_fixed_padded
     (reference semantics: Standard/Tensors::process, src/kernels.cu:289-461).
     """
-    from .blend_pallas import blend_flat
+    from .blend_pallas import blend_tiled
 
     g, c, h8, w128 = tiled.shape
-    v = weights.shape[0]
-    flat = shift_flat_tiled(
+    x4 = shift_tiled_4d(
         tiled, focused_offsets, h=h, w=w, px=px, py=py
     )
-    out = blend_flat(flat, weights).reshape(v, c, h8, w128)
+    out = blend_tiled(x4, weights)
     if (h8, w128) != (h, w):
         out = out[:, :, :h, :w]
     return out

@@ -142,6 +142,44 @@ def test_row_block_matches_full_render(rng):
         )
 
 
+def test_blend_tiled_matches_blend_flat(rng):
+    """The 4D-tiling blend (kron(W, I_2) on the sublane-packed u32 view)
+    is bit-identical to the flat blend under sequential accumulation."""
+    for g, v, c, h8, w128 in [(4, 6, 3, 16, 128), (9, 4, 4, 8, 256)]:
+        x4 = jnp.asarray(
+            rng.integers(0, 256, size=(g, c, h8, w128), dtype=np.uint8)
+        )
+        wm = jnp.asarray(rng.random((v, g), dtype=np.float32))
+        want = blend_pallas.blend_flat(
+            x4.reshape(g, c * h8 * w128), wm
+        ).reshape(v, c, h8, w128)
+        got = blend_pallas.blend_tiled(x4, wm)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_blend_tiled_lane_chunked(rng, monkeypatch):
+    """Multi-chunk grids (wchunk < w128, the 4K shape) blend identically."""
+    g, v, c, h8, w128 = 4, 4, 3, 8, 512
+    x4 = jnp.asarray(
+        rng.integers(0, 256, size=(g, c, h8, w128), dtype=np.uint8)
+    )
+    wm = jnp.asarray(rng.random((v, g), dtype=np.float32))
+    want = np.asarray(blend_pallas.blend_tiled(x4, wm))
+    monkeypatch.setattr(blend_pallas, "_pick_wchunk", lambda *a: 128)
+    got = np.asarray(blend_pallas.blend_tiled.__wrapped__(x4, wm))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pick_wchunk_invariants():
+    for w128 in [128, 1920, 3840, 128 * 63]:
+        for g, v in [(64, 64), (4, 4), (256, 512)]:
+            wc = blend_pallas._pick_wchunk(w128, g, v)
+            assert w128 % wc == 0 and wc % 128 == 0
+            # double-buffered VMEM working set stays within budget
+            per_lane = 8 * (2 * g + 2 * v + 4 * max(g, v))
+            assert wc * per_lane <= 12 * 1024 * 1024 or wc == 128
+
+
 def test_auto_chunk_invariants():
     for l in [128, 1024, 3 * 1080 * 1920, 3 * 48 * 128, 6220800]:
         for g, v in [(64, 64), (64, 512), (256, 64), (4, 4)]:
