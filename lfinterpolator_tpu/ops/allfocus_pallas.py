@@ -30,9 +30,9 @@ the per-level work as in-VMEM rolls and selects:
        as the SWAR zero-byte test -- accumulated into a packed u32 scratch,
     3. one u8 store (a bitcast) of the selected band.
 
-The output is the blend-ready flat layout of blend_pallas.blend_flat, so the
-full TEN allFocus render is this kernel + the same MXU matmul as the
-fixed-focus path. Numerics are bit-identical to the XLA quantized-select
+The output keeps the input's [G, C, HL8, W128] tiling, so the full TEN
+allFocus render is this kernel + the same-tiling MXU matmul
+(blend_pallas.blend_tiled) as the fixed-focus path -- no relayout copy. Numerics are bit-identical to the XLA quantized-select
 path (and hence the oracle): the trunc corrections evaluate the oracle's own
 f32 expressions on iota coordinates, and all selects are integer-exact.
 """
@@ -316,11 +316,13 @@ def allfocus_select_tiled(
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
 ) -> jnp.ndarray:
-    """Per-pixel-level selected stack -> flat [G, C*HL8*W128] uint8.
+    """Per-pixel-level selected stack -> [G, C, HL8, W128] uint8.
 
     Bit-identical to the XLA quantized-select pass of
     blend_xla.render_allfocus_quantized (for maps whose bytes are all in
-    `levels`); feed the result to blend_pallas.blend_flat. `px` bounds
+    `levels`); feed the result to blend_pallas.blend_tiled (same tiling,
+    no relayout copy -- reshaping it flat for blend_flat costs the
+    structural XLA relayout, ~1.2 ms at 1080p). `px` bounds
     |floor(fx)| (e.g. the x component of focus.shift_pad_bound).
 
     With `row_start` (traced) / `row_count` (static), renders only that
@@ -395,7 +397,7 @@ def allfocus_select_tiled(
         focus_map8,
         tiled,
     )
-    return out.reshape(g, c * hl8 * w128)
+    return out
 
 
 def render_allfocus_quantized_fused(
@@ -446,22 +448,21 @@ def render_allfocus_tiled(
     -> [V, C, row_count or H, W] uint8; same numerics as the XLA quantized
     path. With `row_start`/`row_count`, renders only that block of output
     rows (`focus_map` must be the matching block)."""
-    from .blend_pallas import blend_flat
+    from .blend_pallas import blend_tiled
     from .shift_pallas import pad_to_tiles
 
     g, c, h, w = images.shape
     h_out = h if row_count is None else int(row_count)
     hl8, w128 = _align(h_out, 8), _align(w, 128)
-    v = weights.shape[0]
     map8 = jnp.pad(
         focus_map, ((0, hl8 - h_out), (0, w128 - w)), mode="edge"
     )
-    flat = allfocus_select_tiled(
+    x4 = allfocus_select_tiled(
         pad_to_tiles(images), map8, levels, fys, fxs,
         h=h, w=w, spread=spread, px=px,
         row_start=row_start, row_count=row_count,
     )
-    out = blend_flat(flat, weights).reshape(v, c, hl8, w128)
+    out = blend_tiled(x4, weights)
     if (hl8, w128) != (h_out, w):
         out = out[:, :, :h_out, :w]
     return out

@@ -185,10 +185,12 @@ def blend_fast(
     shifted: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32
 ) -> jnp.ndarray:
-    """blend() through the flat Pallas MXU kernel when a TPU is available
-    (3-5x faster at 1080p scale; the u8->f32 einsum materializes a 4x f32
-    copy of the stack), falling back to the XLA einsum elsewhere.
-    Same <=1 LSB accumulation-order equivalence class as blend()."""
+    """blend() through the 4D-tiling Pallas MXU kernel when a TPU is
+    available (3-5x faster at 1080p scale; the u8->f32 einsum materializes
+    a 4x f32 copy of the stack), falling back to the XLA einsum elsewhere.
+    Same <=1 LSB accumulation-order equivalence class as blend(), and the
+    SAME contraction as the fused kernel routes (blend_pallas.blend_tiled),
+    so XLA-path and fused-kernel renders stay bit-identical."""
     from . import blend_pallas
 
     if not blend_pallas.is_available():
@@ -200,9 +202,7 @@ def blend_fast(
         shifted = jnp.pad(
             shifted, ((0, 0), (0, 0), (0, h_al - h), (0, w_al - w))
         )
-    out = blend_pallas.blend_flat(
-        shifted.reshape(g, c * h_al * w_al), weights
-    ).reshape(weights.shape[0], c, h_al, w_al)
+    out = blend_pallas.blend_tiled(shifted, weights)
     if (h_al, w_al) != (h, w):
         out = out[:, :, :h, :w]
     return out
