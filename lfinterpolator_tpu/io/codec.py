@@ -81,6 +81,21 @@ def _load_native():
                 lib._lfi_has_batch = True
             except AttributeError:
                 lib._lfi_has_batch = False
+            try:
+                lib.lfi_encode_batch_png.restype = ctypes.c_int
+                lib.lfi_encode_batch_png.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib._lfi_has_batch_encode = True
+            except AttributeError:
+                lib._lfi_has_batch_encode = False
             _native_lib = lib
         except (OSError, AttributeError):
             # unloadable library, or a stale/unrelated .so missing the
@@ -167,6 +182,54 @@ def decode_batch(
             )
         raise RuntimeError(
             f"Cannot load image {bad} (native codec error {err_c.value}; "
+            f"{rc} file(s) failed)"
+        )
+    return True
+
+
+def encode_batch_png(
+    paths: list[str], stack: np.ndarray, threads: int | None = None
+) -> bool:
+    """Encode a contiguous RGBA8 stack [N, H, W, 4] to per-frame PNGs.
+
+    The write-side sibling of decode_batch (reference result loop:
+    src/interpolator.cu:299-316): one native std::thread pool, each frame
+    staged to <path>.tmp and renamed into place (same atomicity as
+    writer._encode_atomic). Returns False when the native codec or the
+    batch-encode symbol is unavailable (caller falls back to per-image
+    encode); raises on any encode failure.
+    """
+    lib = _load_native()
+    if lib is None or not lib._lfi_has_batch_encode:
+        return False
+    n, h, w, c = stack.shape
+    if n != len(paths) or c != 4 or stack.dtype != np.uint8:
+        raise ValueError(
+            f"encode_batch_png needs [len(paths), H, W, 4] u8, "
+            f"got {stack.shape} {stack.dtype}"
+        )
+    if not stack.flags["C_CONTIGUOUS"]:
+        raise ValueError("encode_batch_png needs a C-contiguous stack")
+    if n == 0:
+        return True
+    if threads is None:
+        threads = min(16, os.cpu_count() or 4)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    err_i = ctypes.c_int(-1)
+    err_c = ctypes.c_int(0)
+    rc = lib.lfi_encode_batch_png(
+        arr, n, w, h,
+        stack.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        threads, ctypes.byref(err_i), ctypes.byref(err_c),
+    )
+    if rc != 0:
+        if err_i.value < 0:
+            raise RuntimeError(
+                f"encode_batch_png rejected its arguments (code {err_c.value})"
+            )
+        bad = paths[err_i.value] if err_i.value < n else "?"
+        raise RuntimeError(
+            f"Cannot write image {bad} (native codec error {err_c.value}; "
             f"{rc} file(s) failed)"
         )
     return True

@@ -43,18 +43,38 @@ def write_views(
     *,
     progress: bool = True,
 ) -> list[str]:
-    """Write views as zero-padded numbered PNGs plus optional focus maps."""
+    """Write views as zero-padded numbered PNGs plus optional focus maps.
+
+    Bulk view writes go through the native threaded batch encoder when it
+    is built (one std::thread pool over all frames, each staged to .tmp
+    and renamed -- same atomicity as the per-file path); otherwise frames
+    encode one by one."""
     os.makedirs(path, exist_ok=True)
     v_count = views.shape[0]
     total = v_count + (maps.shape[0] if maps is not None else 0)
     bar = LoadingBar(total, "Storing results...", enabled=progress)
     written = []
     digits = max(2, len(str(v_count - 1)))
-    for i in range(v_count):
-        name = os.path.join(path, f"{i:0{digits}d}.png")
-        _encode_atomic(name, _with_alpha(views[i]))
-        written.append(name)
-        bar.add()
+    names = [
+        os.path.join(path, f"{i:0{digits}d}.png") for i in range(v_count)
+    ]
+    stack = None
+    if v_count > 1:
+        if views.shape[-1] == 4:
+            stack = np.ascontiguousarray(views)
+        else:
+            stack = np.empty((*views.shape[:3], 4), dtype=np.uint8)
+            stack[..., :3] = views
+            stack[..., 3] = 255
+    if stack is not None and codec.encode_batch_png(names, stack):
+        written.extend(names)
+        for _ in names:
+            bar.add()
+    else:
+        for i in range(v_count):
+            _encode_atomic(names[i], _with_alpha(views[i]))
+            written.append(names[i])
+            bar.add()
     if maps is not None:
         for i in range(maps.shape[0]):
             name = os.path.join(path, f"map{i}.png")

@@ -300,4 +300,67 @@ int lfi_decode_batch_rgba(const char *const *paths, int n, int width,
     return failures.load();
 }
 
+// Encode `n` RGBA8 frames from a contiguous stack `data` (n*height*width*4
+// bytes) to per-frame PNG files, parallel over a std::thread pool -- the
+// write-side sibling of lfi_decode_batch_rgba (reference result loop:
+// src/interpolator.cu:299-316 writes frames one by one). Each frame is
+// staged to "<path>.tmp" and renamed into place, so partially written
+// frames never appear under a final name. Returns 0 on success; otherwise
+// the number of failures, with the first failing frame's index in
+// *err_index and its error in *err_code (codec error, or -5 = rename
+// failed, -6 = path too long / out of memory).
+int lfi_encode_batch_png(const char *const *paths, int n, int width,
+                         int height, const unsigned char *data, int threads,
+                         int *err_index, int *err_code) {
+    if (err_index) *err_index = -1;
+    if (err_code) *err_code = 0;
+    if (n == 0) return 0;
+    if (n < 0 || width <= 0 || height <= 0 || !data) {
+        if (err_code) *err_code = -3;  // invalid arguments, no file written
+        return 1;
+    }
+    std::atomic<int> next(0), failures(0);
+    std::atomic<long long> first_fail(-1);
+    const size_t frame = (size_t)width * height * 4;
+
+    auto record = [&](int i, int code) {
+        failures.fetch_add(1);
+        const long long packed = ((long long)i << 32) | (unsigned int)code;
+        long long cur = first_fail.load();
+        while ((cur == -1 || i < (int)(cur >> 32)) &&
+               !first_fail.compare_exchange_weak(cur, packed)) {
+        }
+    };
+
+    auto worker = [&]() {
+        std::vector<char> tmp;
+        for (;;) {
+            const int i = next.fetch_add(1);
+            if (i >= n) return;
+            const size_t len = std::strlen(paths[i]);
+            tmp.resize(len + 5);
+            std::memcpy(tmp.data(), paths[i], len);
+            std::memcpy(tmp.data() + len, ".tmp", 5);
+            const int rc = lfi_encode_png_rgba(
+                tmp.data(), width, height, 4, data + (size_t)i * frame);
+            if (rc != 0) { record(i, rc); continue; }
+            if (std::rename(tmp.data(), paths[i]) != 0) {
+                std::remove(tmp.data());
+                record(i, -5);
+            }
+        }
+    };
+
+    int nt = threads < 1 ? 1 : threads;
+    if (nt > n) nt = n;
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+    for (auto &th : pool) th.join();
+    const long long ff = first_fail.load();
+    if (err_index) *err_index = ff == -1 ? -1 : (int)(ff >> 32);
+    if (err_code) *err_code = ff == -1 ? 0 : (int)(ff & 0xffffffff);
+    return failures.load();
+}
+
 }  // extern "C"

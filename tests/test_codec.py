@@ -132,3 +132,33 @@ class TestNative:
         out = np.empty((2, 16, 16, 4), dtype=np.uint8)
         with pytest.raises(RuntimeError, match="Cannot load image"):
             codec.decode_batch([pg, pbad], out)
+
+    def test_encode_batch_roundtrip(self, tmp_path, rng):
+        if not codec.native_available():
+            pytest.skip("native codec not built")
+        stack = rng.integers(0, 256, (5, 24, 40, 4), dtype=np.uint8)
+        paths = [str(tmp_path / f"{i:02d}.png") for i in range(5)]
+        assert codec.encode_batch_png(paths, stack, threads=3)
+        for i, p in enumerate(paths):
+            np.testing.assert_array_equal(codec.decode(p), stack[i])
+        # no staging leftovers
+        assert not list(tmp_path.glob("*.tmp"))
+
+    def test_encode_batch_unwritable_path(self, tmp_path, rng):
+        if not codec.native_available():
+            pytest.skip("native codec not built")
+        stack = rng.integers(0, 256, (2, 8, 8, 4), dtype=np.uint8)
+        paths = [
+            str(tmp_path / "ok.png"),
+            str(tmp_path / "nodir" / "x.png"),  # parent missing
+        ]
+        with pytest.raises(RuntimeError, match="Cannot write image"):
+            codec.encode_batch_png(paths, stack)
+
+    def test_encode_batch_rejects_bad_stack(self, tmp_path):
+        if not codec.native_available():
+            pytest.skip("native codec not built")
+        with pytest.raises(ValueError):
+            codec.encode_batch_png(
+                [str(tmp_path / "a.png")], np.zeros((1, 4, 4, 3), np.uint8)
+            )
