@@ -58,18 +58,33 @@ def write_views(
     names = [
         os.path.join(path, f"{i:0{digits}d}.png") for i in range(v_count)
     ]
-    stack = None
-    if v_count > 1:
+    batched = False
+    if v_count > 1 and codec.native_available():
         if views.shape[-1] == 4:
-            stack = np.ascontiguousarray(views)
+            # zero-copy when the render output is already RGBA-contiguous
+            batched = codec.encode_batch_png(
+                names, np.ascontiguousarray(views)
+            )
         else:
-            stack = np.empty((*views.shape[:3], 4), dtype=np.uint8)
-            stack[..., :3] = views
-            stack[..., 3] = 255
-    if stack is not None and codec.encode_batch_png(names, stack):
+            # RGB input: convert in bounded chunks so a 4K 64-view write
+            # never materializes a multi-GB RGBA copy of the whole stack
+            chunk = max(1, (64 * 1024 * 1024) // (views[0].nbytes * 4 // 3))
+            batched = True
+            for i in range(0, v_count, chunk):
+                part = views[i : i + chunk]
+                rgba = np.empty((*part.shape[:3], 4), dtype=np.uint8)
+                rgba[..., :3] = part
+                rgba[..., 3] = 255
+                if not codec.encode_batch_png(names[i : i + chunk], rgba):
+                    batched = False
+                    break
+                for _ in range(part.shape[0]):
+                    bar.add()
+    if batched:
         written.extend(names)
-        for _ in names:
-            bar.add()
+        if views.shape[-1] == 4:
+            for _ in names:
+                bar.add()
     else:
         for i in range(v_count):
             _encode_atomic(names[i], _with_alpha(views[i]))

@@ -259,10 +259,14 @@ def blend_tiled(
 
     Numerics: same u8 x f32 -> round-half-even class as blend_flat
     (reference: src/kernels.cu:301-310). The kron(W, I_2) contraction adds
-    only zero-product operand slots, so it changes the f32 accumulation
-    ORDER but not the exact sum of products -- bit-identical to blend_flat
-    under sequential (interpret-mode) accumulation and within the
-    documented <=1 LSB accumulation-order class on the MXU.
+    only zero-product operand slots (exact +0.0 adds), but the doubled
+    contraction width can still reassociate the f32 sum (XLA blocks dots
+    by K), so outputs sit within the documented <=1 LSB accumulation-order
+    class of blend_flat rather than bit-equal in general -- measured 13 of
+    398M bytes off by 1 on v5e at the headline config, and the all-focus
+    fuzz configs diverge by 1 LSB even in interpret mode. Callers that
+    must match an XLA-path render bit-for-bit route BOTH contractions
+    through this kernel (see blend_xla.blend_fast).
     """
     g, c, h8, w128 = x4.shape
     v = weights.shape[0]

@@ -162,3 +162,23 @@ class TestNative:
             codec.encode_batch_png(
                 [str(tmp_path / "a.png")], np.zeros((1, 4, 4, 3), np.uint8)
             )
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_write_views_roundtrip(tmp_path, rng, channels):
+    """write_views (batch-encode fast path or per-file fallback) produces
+    decodable frames with alpha forced to 255 and no .tmp leftovers."""
+    from lfinterpolator_tpu.io import writer
+
+    views = rng.integers(0, 256, (5, 24, 40, channels), dtype=np.uint8)
+    if channels == 4:
+        views[..., 3] = 255
+    out = writer.write_views(str(tmp_path), views, progress=False)
+    assert [p.split("/")[-1] for p in out] == [
+        f"{i:02d}.png" for i in range(5)
+    ]
+    for i, p in enumerate(out):
+        back = codec.decode(p)
+        np.testing.assert_array_equal(back[..., :3], views[i][..., :3])
+        assert (back[..., 3] == 255).all()
+    assert not list(tmp_path.glob("*.tmp"))
