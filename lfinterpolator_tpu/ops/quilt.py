@@ -19,6 +19,67 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blend_pallas import _interpret, is_available
+
+
+def _pick_bh(th: int, tw: int, budget: int = 2 * 1024 * 1024) -> int | None:
+    """Largest 8-multiple divisor of th whose [bh, tw] u8 band fits the
+    per-block budget (double-buffered in+out stays ~4x under VMEM)."""
+    best = None
+    for bh in range(8, th + 1, 8):
+        if th % bh == 0 and bh * tw <= budget:
+            best = bh
+    return best
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[0, :, :] = x_ref[0, 0, :, :]
+
+
+def _assemble_pallas(tiles, cols, rows, th, tw):
+    """One auto-pipelined Pallas block copy per (tile, channel, band).
+
+    Measured in the c4 pipeline (blend output -> quilt, v5e): 6.17 ->
+    5.50 ms end-to-end vs the chained dynamic_update_slice canvas, with
+    full-tile bands (bh=1080) beating finer splits (bh=360: 5.73).
+    Curiously the ranking flips when the operand comes from a fresh
+    elementwise producer instead of the blend kernel (isolated sweep:
+    DUS 4.98 vs Pallas 5.17 best; bh=1080 pathological at 27.9) -- the
+    operand layout XLA picks decides which copy wins, so the fallback
+    stays the DUS canvas and only the render pipeline route uses this."""
+    n = cols * rows
+    c = tiles.shape[1]
+    bh = _pick_bh(th, tw)
+    return pl.pallas_call(
+        _copy_kernel,
+        grid=(rows, cols, c, th // bh),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bh, tw),
+                lambda r, cl, cc, b, cols=cols: (r * cols + cl, cc, b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, tw),
+            lambda r, cl, cc, b, cols=cols, nb=th // bh: (
+                cc, r * nb + b, cl,
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (c, rows * th, cols * tw), jnp.uint8
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * n * c * th * tw,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(tiles[:n])
 
 
 def to_hwc(quilt_chw: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +108,13 @@ def assemble_quilt(
         tiles = jnp.clip(jnp.round(tiles), 0, 255).astype(jnp.uint8)
     else:
         th, tw = h, w
+    if (
+        is_available()
+        and th % 8 == 0
+        and tw % 128 == 0
+        and _pick_bh(th, tw) is not None
+    ):
+        return _assemble_pallas(tiles, cols, rows, th, tw)
     # Unrolled per-tile copies into the canvas: plain contiguous stores,
     # measured 1.5x faster on v5e than the transpose+reshape formulation
     # (whose (cols, tw) minor-dim interleave lowers to a slow transpose).

@@ -55,3 +55,29 @@ def test_metrics_shape_mismatch(rng):
     a = np.zeros((4, 4)), np.zeros((5, 5))
     with pytest.raises(ValueError):
         metrics.psnr(*a)
+
+
+def test_quilt_pallas_matches_dus(rng, monkeypatch):
+    """The aligned-tile Pallas copy path equals the dynamic_update_slice
+    canvas bit for bit (including band splitting)."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    from lfinterpolator_tpu.ops import quilt as q
+
+    views = jnp.asarray(
+        rng.integers(0, 256, (8, 3, 16, 128), dtype=np.uint8)
+    )
+    got = np.asarray(q.assemble_quilt(views, cols=2, rows=3))
+    # force the fallback for the reference result
+    monkeypatch.setattr(q, "_pick_bh", lambda *a, **k: None)
+    want = np.asarray(
+        q.assemble_quilt.__wrapped__(views, cols=2, rows=3)
+    )
+    np.testing.assert_array_equal(got, want)
+    # band-split variant (bh < th) also matches
+    monkeypatch.undo()
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(q, "_pick_bh", lambda th, tw, budget=0: 8)
+    got_b = np.asarray(
+        q.assemble_quilt.__wrapped__(views, cols=2, rows=3)
+    )
+    np.testing.assert_array_equal(got_b, want)
