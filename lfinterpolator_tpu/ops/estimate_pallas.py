@@ -1,4 +1,10 @@
-"""Fused Pallas focus-estimate kernel (FocusMap::estimate, exact taps).
+"""Fused Pallas focus-estimate kernels (FocusMap::estimate).
+
+Two siblings share the window DMA scheme, SWAR byte min/max and the
+argmin tail: `estimate_fused` reproduces the EXACT per-center-pixel tap
+rule (9 per-cell tap maps per view), `estimate_fast_fused` the fast
+tap-position rule (ONE trunc-corrected window + one minmax per view, the
+9 stencil costs become static slices of a single range map).
 
 TPU-native re-design of the reference disparity search
 (reference: src/kernels.cu:164-258) with the EXACT per-CENTER-pixel C
@@ -369,6 +375,276 @@ def _est_kernel(
             ]
 
 
+def _pick_cfg_fast(
+    h8: int, w: int, k: int, steps: int, ry: int, rx: int,
+    span_y: int, span_x: int, budget: int = 13 * 1024 * 1024,
+):
+    """Choose (TB, TBW, WL, CC, SC) for the fast-taps kernel, or None.
+
+    Working set: K u8 windows [TBW, WL] (the binding term, same as the
+    exact kernel) + (2 minmax + SC chmax + ~8 temps) packed maps of
+    [RC4, WL] u32 with RC4 = (TB + 2ry)/4 + 2 (the corrected window
+    overhangs the band by +-ry rows) + best state.
+    """
+    for sc in (4, 2, 1):
+        if steps % sc:
+            continue
+        cc = steps // sc
+        wl = _align(w + span_x + 2 * rx + 140, 128)
+        for tb in range(96, 7, -8):
+            if h8 % tb:
+                continue
+            tbw = _align(tb + span_y + 2 * ry + 16, 32)
+            rc4b = tb + 2 * ry + 8  # bytes/lane of one [RC4, WL] u32 map
+            need = (
+                k * tbw * wl
+                + (2 + sc + 8) * rc4b * wl
+                + 6 * tb * wl  # best-cost planes + byte register
+            )
+            if need <= budget:
+                return tb, tbw, wl, cc, sc
+    return None
+
+
+def supports_fast(
+    h_out: int, w: int, k: int, steps: int, radius: tuple[int, int],
+    span_y: int, span_x: int,
+) -> bool:
+    h8 = _align(h_out, 8)
+    if w < 256 or h8 < 8 or k < 1 or steps < 2:
+        return False
+    if _align(w + span_x + 2 * radius[0] + 140, 128) > 8 * 3968:
+        return False
+    return (
+        _pick_cfg_fast(
+            h8, w, k, steps, radius[1], radius[0], span_y, span_x
+        )
+        is not None
+    )
+
+
+def _est_fast_kernel(
+    fys_ref,  # SMEM [S, K] f32
+    fxs_ref,  # SMEM [S, K] f32
+    nys_ref,  # SMEM [S, K] i32
+    nxs_ref,  # SMEM [S, K] i32
+    base8_ref,  # SMEM [CC, K] i32
+    lst_ref,  # SMEM [CC, K] i32
+    lvl_ref,  # SMEM [S] i32
+    rs_ref,  # SMEM [1] i32
+    pad_ref,  # HBM [K, C, HP, WP] u8
+    out_ref,  # VMEM block [TB, W128] u8
+    win,  # VMEM scratch [K, TBW, WL] u8
+    mns,  # VMEM scratch [RC4, WL] u32 (view min of the corrected window)
+    mxs,  # VMEM scratch [RC4, WL] u32
+    chmax,  # VMEM scratch [SC, RC4, WL] u32 (range max over channels)
+    bestc,  # VMEM scratch [4, TB/4, WL] i32
+    bestb,  # VMEM scratch [TB/4, WL] u32
+    sems,  # DMA semaphores [K]
+    *,
+    tb: int,
+    tbw: int,
+    wl: int,
+    sc: int,
+    ry: int,
+    rx: int,
+    px: int,
+    py: int,
+    w128: int,
+    k_views: int,
+    n_ch: int,
+):
+    """Fast-taps sibling of _est_kernel (focus.estimate_focus_map with
+    exact_taps=False, reference tap loop src/kernels.cu:205-216 evaluated
+    at the TAP position): per view ONE trunc-corrected window over band
+    rows [-ry, tb+ry) x cols [-rx, w+rx) and ONE SWAR minmax accumulate,
+    instead of 9 per-cell tap maps; the 9 stencil costs become static
+    slices of the single per-candidate range map. Bit-identical to the
+    XLA cost_fast path (ops/focus.py::cost_fast)."""
+    band = pl.program_id(0)
+    cc = pl.program_id(1)
+    c = pl.program_id(2)
+    s_in = pl.program_id(3)
+    n_cc = pl.num_programs(1)
+    s = cc * sc + s_in
+
+    nbp = tb // 4
+    rc4 = (tb + 2 * ry) // 4 + 2
+    rall = tbw // 4
+    allff = jnp.uint32(0xFFFFFFFF)
+    ffu = jnp.uint32(0xFF)
+    zero = jnp.uint32(0)
+
+    # ---- window set DMA: once per (band, chunk, channel) ----
+    @pl.when(s_in == 0)
+    def _():
+        def copy_kv(kv):
+            ws = (base8_ref[cc, kv] + band * tb) // 8 * 8
+            ls = lst_ref[cc, kv] // 128 * 128
+            return pltpu.make_async_copy(
+                pad_ref.at[kv, c, pl.ds(ws, tbw), pl.ds(ls, wl)],
+                win.at[kv],
+                sems.at[kv],
+            )
+
+        def issue(kv, _):
+            copy_kv(kv).start()
+            return 0
+
+        lax.fori_loop(0, k_views, issue, 0)
+
+        def wait(kv, _):
+            copy_kv(kv).wait()
+            return 0
+
+        lax.fori_loop(0, k_views, wait, 0)
+
+    mns[:, :] = jnp.full((rc4, wl), allff, jnp.uint32)
+    mxs[:, :] = jnp.zeros((rc4, wl), jnp.uint32)
+
+    # window rows: byte i of packed row kk is band row 4kk + i - ry
+    ysp = jax.lax.broadcasted_iota(jnp.int32, (rc4, 1), 0) * 4 + (
+        rs_ref[0] + band * tb - ry
+    )
+    qxw = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1) - rx
+    qxwf = qxw.astype(jnp.float32)
+
+    def corrected_window(kv):
+        """View kv's trunc-corrected window (packed u32 [RC4, WL])."""
+        fy = fys_ref[s, kv]
+        fx = fxs_ref[s, kv]
+        ny = nys_ref[s, kv]
+        nx = nxs_ref[s, kv]
+
+        w32 = pltpu.bitcast(win[kv], jnp.uint32)  # [TBW/4, WL]
+        # same alignment fold as the exact kernel: base byte b holds band
+        # row b - (ry + 2), so window byte j (band row j - ry) sits at
+        # base byte j + d + 2 for trunc variant d
+        dr = py + rs_ref[0] + ny - base8_ref[cc, kv] - (ry + 2)
+        rb4 = dr // 4
+        rr = dr - 4 * rb4
+        z0 = pltpu.roll(w32, (rall - rb4 % rall) % rall, 0)
+        z1 = pltpu.roll(z0, rall - 1, 0)
+        sh = (8 * rr).astype(jnp.uint32)
+        shl = ((32 - 8 * rr) % 32).astype(jnp.uint32)
+        base = jnp.where(
+            rr == 0,
+            z0,
+            jax.lax.shift_right_logical(z0, sh) | jax.lax.shift_left(z1, shl),
+        )
+
+        variants = {}
+        for d in (-1, 0, 1):
+            r = d + 2  # in {1, 2, 3}: always a two-row funnel
+            lo = base[0:rc4, :]
+            hi = base[1 : rc4 + 1, :]
+            variants[d] = jax.lax.shift_right_logical(
+                lo, jnp.uint32(8 * r)
+            ) | jax.lax.shift_left(hi, jnp.uint32(32 - 8 * r))
+
+        # per-byte-row trunc masks at the WINDOW row (the fast rule:
+        # trunc_offsets evaluated at the tap position, not the center)
+        fyf = jnp.floor(fy)
+        mm = zero
+        mp = zero
+        for i in range(4):
+            qyf_i = (ysp + i).astype(jnp.float32)
+            dyo_i = jnp.clip(
+                (jnp.trunc(qyf_i + fy) - (qyf_i + fyf)).astype(jnp.int32),
+                -1, 1,
+            )
+            byte = jnp.uint32(0xFF << (8 * i))
+            mm = mm | jnp.where(dyo_i == -1, byte, zero)
+            mp = mp | jnp.where(dyo_i == 1, byte, zero)
+        nm = (mm | mp) ^ allff
+        rsel = (mm & variants[-1]) | (mp & variants[1]) | (nm & variants[0])
+
+        # lane alignment: window lane l is col l - rx, so roll by rxl - rx
+        a = px + nx - lst_ref[cc, kv] - rx
+        r0 = pltpu.roll(rsel, (wl - a % wl) % wl, 1)
+        lvp = pltpu.roll(r0, wl - 1, 1)  # r0[l + 1]
+        lvm = pltpu.roll(r0, 1, 1)  # r0[l - 1]
+        fxf = jnp.floor(fx)
+        dxo = jnp.clip(
+            (jnp.trunc(qxwf + fx) - (qxwf + fxf)).astype(jnp.int32), -1, 1
+        )
+        return jnp.where(dxo == 1, lvp, jnp.where(dxo == -1, lvm, r0))
+
+    def view_body(kv, _):
+        t = corrected_window(kv)
+        mx = mxs[:, :]
+        m1, axb1 = _swar_ge(mx, t)
+        mxs[:, :] = t ^ (axb1 & m1)
+        mn = mns[:, :]
+        m2, axb2 = _swar_ge(mn, t)
+        mns[:, :] = mn ^ (axb2 & m2)
+        return 0
+
+    lax.fori_loop(0, k_views, view_body, 0)
+
+    # ---- range, channel max (one map instead of 9 cell maps) ----
+    rng = mxs[:, :] - mns[:, :]  # per-byte, borrow-free (max >= min)
+    if n_ch == 1:
+        chmax[s_in] = rng
+    else:
+        @pl.when(c == 0)
+        def _():
+            chmax[s_in] = rng
+
+        @pl.when(c > 0)
+        def _():
+            cur = chmax[s_in]
+            m, axb = _swar_ge(cur, rng)
+            chmax[s_in] = rng ^ (axb & m)
+
+    # ---- cost: 9 static slices of the range map + argmin ----
+    @pl.when(c == n_ch - 1)
+    def _():
+        ch = chmax[s_in]
+        planes = [jnp.zeros((nbp, wl), jnp.int32) for _ in range(4)]
+        for syo in (-ry, 0, ry):
+            o = syo + ry  # window byte offset of band row 0 for this cell
+            qo, ro = divmod(o, 4)
+            if ro == 0:
+                pk = ch[qo : qo + nbp, :]
+            else:
+                pk = jax.lax.shift_right_logical(
+                    ch[qo : qo + nbp, :], jnp.uint32(8 * ro)
+                ) | jax.lax.shift_left(
+                    ch[qo + 1 : qo + nbp + 1, :], jnp.uint32(32 - 8 * ro)
+                )
+            for sxo in (-rx, 0, rx):
+                m = rx + sxo  # window lane offset: tap col l + sxo
+                pkr = pltpu.roll(pk, (wl - m % wl) % wl, 1) if m else pk
+                for i in range(4):
+                    planes[i] = planes[i] + (
+                        jax.lax.shift_right_logical(pkr, jnp.uint32(8 * i))
+                        & ffu
+                    ).astype(jnp.int32)
+
+        @pl.when(s == 0)
+        def _():
+            for i in range(4):
+                bestc[i] = jnp.full((nbp, wl), jnp.int32(2**30), jnp.int32)
+            bestb[:, :] = jnp.zeros((nbp, wl), jnp.uint32)
+
+        byte_s = lvl_ref[s].astype(jnp.uint32) * jnp.uint32(0x01010101)
+        mupd = zero
+        for i in range(4):
+            better = planes[i] < bestc[i]
+            bestc[i] = jnp.where(better, planes[i], bestc[i])
+            mupd = mupd | jnp.where(
+                better, jnp.uint32(0xFF << (8 * i)), zero
+            )
+        bestb[:, :] = (mupd & byte_s) | (~mupd & bestb[:, :])
+
+        @pl.when((cc == n_cc - 1) & (s_in == sc - 1))
+        def _():
+            out_ref[:, :] = pltpu.bitcast(bestb[:, :], jnp.uint8)[
+                :, 0:w128
+            ]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -487,6 +763,134 @@ def estimate_fused(
         ],
         cost_estimate=pl.CostEstimate(
             flops=300 * steps * k * c * h8 * wl // 4,
+            bytes_accessed=nb * cc * c * k * tbw * wl,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        fys.astype(jnp.float32),
+        fxs.astype(jnp.float32),
+        nys, nxs, base8, lst, lvl,
+        row_start.reshape(1),
+        padded,
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h_out", "w", "radius", "steps", "px", "py", "span_y", "span_x",
+    ),
+)
+def estimate_fast_fused(
+    selected: jnp.ndarray,  # [K, C, H, W] uint8
+    sel_offsets: jnp.ndarray,  # [K, 2] f32 (x, y)
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    h_out: int,
+    w: int,
+    radius: tuple[int, int],
+    steps: int,
+    px: int,
+    py: int,
+    span_y: int,
+    span_x: int,
+    row_start: jnp.ndarray | int = 0,
+) -> jnp.ndarray:
+    """Fused FAST-taps estimate -> [align8(h_out), W128] uint8 map.
+
+    Bit-identical to focus.estimate_focus_map(exact_taps=False, pad=(px,py))
+    on rows [row_start, row_start+h_out); callers slice [:h_out, :w]. The
+    host preamble mirrors estimate_fused exactly (same tables, pads and
+    clips -- the fast rule changes only the in-kernel tap construction).
+    Check supports_fast() first.
+    """
+    from .blend_xla import div_exact, no_fma
+
+    k, c, h, w_in = selected.shape
+    rx, ry = int(radius[0]), int(radius[1])
+    h8 = _align(h_out, 8)
+    w128 = _align(w, 128)
+    cfg = _pick_cfg_fast(h8, w, k, steps, ry, rx, span_y, span_x)
+    if cfg is None:
+        raise ValueError("geometry unsupported; check supports_fast() first")
+    tb, tbw, wl, cc, sc = cfg
+    nb = h8 // tb
+
+    focus = jnp.asarray(focus, jnp.float32)
+    focus_range = jnp.asarray(focus_range, jnp.float32)
+    step = div_exact(focus_range, jnp.float32(steps - 1))
+    idx = jnp.arange(steps, dtype=jnp.float32)
+    candidates = focus + no_fma(step * idx)  # [S]
+    fys = candidates[:, None] * sel_offsets[None, :, 1]  # [S, K]
+    fxs = candidates[:, None] * sel_offsets[None, :, 0]
+
+    best_focus = focus + no_fma(step * idx)
+    normalized = div_exact(best_focus - focus, focus_range)
+    nv = no_fma(normalized * jnp.float32(255))
+    lvl = jnp.where(nv >= 0, jnp.floor(nv + 0.5), jnp.ceil(nv - 0.5)).astype(
+        jnp.int32
+    )
+
+    nys = jnp.clip(
+        jnp.floor(fys).astype(jnp.int32), -(py - ry - 1), py - ry - 1
+    )
+    nxs = jnp.clip(
+        jnp.floor(fxs).astype(jnp.int32), -(px - rx - 1), px - rx - 1
+    )
+
+    row_start = jnp.asarray(row_start, jnp.int32)
+    nys_c = nys.reshape(cc, sc, k)
+    mny = nys_c.min(axis=1)  # [CC, K]
+    hp = _align(h + 2 * py, 8) + tbw
+    wp = _align(w_in + 2 * px, 128) + wl
+    base = py + row_start + mny - (ry + 2)
+    base8 = jnp.clip(base, 0, hp - tbw - (nb - 1) * tb) // 8 * 8
+    nxs_c = nxs.reshape(cc, sc, k)
+    mnx = nxs_c.min(axis=1)
+    lst = jnp.clip(px + mnx - (rx + 2), 0, wp - wl) // 128 * 128
+
+    padded = jnp.pad(
+        selected, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge"
+    )
+    padded = jnp.pad(
+        padded,
+        (
+            (0, 0), (0, 0),
+            (0, hp - (h + 2 * py)),
+            (0, wp - (w_in + 2 * px)),
+        ),
+    )
+
+    rc4 = (tb + 2 * ry) // 4 + 2
+    kernel = functools.partial(
+        _est_fast_kernel,
+        tb=tb, tbw=tbw, wl=wl, sc=sc, ry=ry, rx=rx, px=px, py=py,
+        w128=w128, k_views=k, n_ch=c,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, cc, c, sc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(
+            (tb, w128), lambda b, ccg, cg, sg: (b, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h8, w128), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((k, tbw, wl), jnp.uint8),
+            pltpu.VMEM((rc4, wl), jnp.uint32),
+            pltpu.VMEM((rc4, wl), jnp.uint32),
+            pltpu.VMEM((sc, rc4, wl), jnp.uint32),
+            pltpu.VMEM((4, tb // 4, wl), jnp.int32),
+            pltpu.VMEM((tb // 4, wl), jnp.uint32),
+            pltpu.SemaphoreType.DMA((k,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * steps * k * c * h8 * wl // 4,
             bytes_accessed=nb * cc * c * k * tbw * wl,
             transcendentals=0,
         ),

@@ -129,9 +129,11 @@ def estimate_focus_map(
 
     `spans` is the static per-candidate-chunk shift-span bound from
     estimate_pallas.chunk_spans (host-side, from concrete offsets). When
-    given (and a TPU is available, exact taps, padded path), the estimate
-    runs through the fused sublane-packed SWAR Pallas kernel -- measured
-    ~1.9x the XLA sweep at 8x8/1080p/K=32/steps=32, bit-identical.
+    given (and a TPU is available, padded path), the estimate runs through
+    the fused sublane-packed SWAR Pallas kernels -- exact taps via
+    estimate_fused (~1.9x the XLA sweep at 8x8/1080p/K=32/steps=32) and
+    the fast tap rule via estimate_fast_fused, both bit-identical to the
+    corresponding XLA path.
 
     Returns [row_count or H, W] uint8: round((best_focus - focus)/range * 255).
     """
@@ -143,14 +145,25 @@ def estimate_focus_map(
         raise ValueError("row blocks require the padded fast path (pass pad=)")
     h_out = int(row_count)
 
-    if spans is not None and exact_taps and pad is not None:
+    if spans is not None and pad is not None:
         from . import estimate_pallas
         from .blend_pallas import is_available
 
-        if is_available() and estimate_pallas.supports(
+        if exact_taps:
+            if is_available() and estimate_pallas.supports(
+                h_out, w, k, steps, (rx, ry), spans[0], spans[1]
+            ):
+                return estimate_pallas.estimate_fused(
+                    selected, sel_offsets, focus, focus_range,
+                    h_out=h_out, w=w, radius=(rx, ry), steps=steps,
+                    px=int(pad[0]), py=int(pad[1]),
+                    span_y=int(spans[0]), span_x=int(spans[1]),
+                    row_start=row_start,
+                )[:h_out, :w]
+        elif is_available() and estimate_pallas.supports_fast(
             h_out, w, k, steps, (rx, ry), spans[0], spans[1]
         ):
-            return estimate_pallas.estimate_fused(
+            return estimate_pallas.estimate_fast_fused(
                 selected, sel_offsets, focus, focus_range,
                 h_out=h_out, w=w, radius=(rx, ry), steps=steps,
                 px=int(pad[0]), py=int(pad[1]),

@@ -132,3 +132,80 @@ def test_pipeline_all_focus_with_spans(rng, small_lf):
     got_v, got_m = pipeline.render_all_focus(*args, spans=spans, **kw)
     np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def _compare_fast(rng, cols, rows, h, w, K, steps, focus, frange, radius,
+                  row=None):
+    offsets, pad, sel_img, sel_off = _setup(
+        rng, cols, rows, h, w, K, focus, frange, radius
+    )
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    rs, rc = (0, h) if row is None else row
+    assert ep.supports_fast(rc, w, K, steps, radius, spans[0], spans[1])
+    want = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), radius,
+        steps=steps, pad=pad, exact_taps=False, row_start=rs, row_count=rc,
+    )
+    got = ep.estimate_fast_fused(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+        h_out=rc, w=w, radius=radius, steps=steps,
+        px=pad[0], py=pad[1], span_y=spans[0], span_x=spans[1],
+        row_start=rs,
+    )[:rc, :w]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fast_fused_base(rng):
+    _compare_fast(rng, 4, 4, 64, 384, 8, 8, 0.1, 0.4, (4, 2))
+
+
+def test_fast_fused_negative_focus(rng):
+    _compare_fast(rng, 4, 4, 64, 384, 8, 8, -0.3, 0.5, (4, 2))
+
+
+def test_fast_fused_odd_view_count(rng):
+    _compare_fast(rng, 4, 4, 64, 384, 7, 8, 0.1, 0.4, (4, 2))
+
+
+def test_fast_fused_big_radius(rng):
+    _compare_fast(rng, 4, 4, 96, 512, 8, 16, 0.0, 0.6, (10, 6))
+
+
+def test_fast_fused_odd_radius(rng):
+    # odd ry exercises the unaligned window-byte funnels in the cost slices
+    _compare_fast(rng, 4, 4, 64, 384, 8, 8, 0.1, 0.4, (5, 3))
+
+
+def test_fast_fused_row_block(rng):
+    _compare_fast(rng, 4, 4, 64, 384, 8, 8, 0.1, 0.4, (4, 2), row=(24, 32))
+
+
+def test_fast_fused_unaligned_sizes(rng):
+    _compare_fast(rng, 4, 4, 52, 300, 8, 8, 0.1, 0.4, (4, 2))
+
+
+def test_estimate_focus_map_routes_fast_to_fused(rng):
+    """estimate_focus_map(exact_taps=False, spans=...) takes the fast fused
+    kernel (spied) and returns the identical map."""
+    from unittest import mock
+
+    cols = rows = 4
+    h, w, K, steps = 64, 384, 8, 8
+    focus, frange, radius = 0.1, 0.4, (4, 2)
+    offsets, pad, sel_img, sel_off = _setup(
+        rng, cols, rows, h, w, K, focus, frange, radius
+    )
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    plain = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), radius,
+        steps=steps, pad=pad, exact_taps=False,
+    )
+    with mock.patch.object(
+        ep, "estimate_fast_fused", wraps=ep.estimate_fast_fused
+    ) as spy:
+        routed = focus_ops.estimate_focus_map(
+            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+            radius, steps=steps, pad=pad, exact_taps=False, spans=spans,
+        )
+        assert spy.call_count == 1
+    np.testing.assert_array_equal(np.asarray(routed), np.asarray(plain))
