@@ -102,6 +102,19 @@ def main(argv: list[str] | None = None) -> int:
     from .io.loader import load_light_field
 
     progress = not args.no_progress and not args.json_out
+    # Validate quilt geometry BEFORE the render: a bad --quilt-tile must
+    # fail in milliseconds, not after minutes of rendering.
+    quilt_tile = (1080, 1920) if args.quilt_reference else None
+    if args.quilt_tile:
+        try:
+            th, tw = (int(x) for x in args.quilt_tile.split("x"))
+            if th <= 0 or tw <= 0:
+                raise ValueError(args.quilt_tile)
+        except ValueError:
+            print(f"Bad --quilt-tile {args.quilt_tile!r}; expected "
+                  "HxW with positive sizes, e.g. 1080x1920", file=sys.stderr)
+            return 1
+        quilt_tile = (th, tw)
     try:
         source = (
             load_light_field(
@@ -128,20 +141,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         written = result.save(args.output, progress=progress)
         if args.quilt or args.quilt_reference or args.quilt_tile:
-            tile_size = None
-            if args.quilt_reference:
-                tile_size = (1080, 1920)
-            if args.quilt_tile:
-                try:
-                    th, tw = (int(x) for x in args.quilt_tile.split("x"))
-                except ValueError:
-                    print(f"Bad --quilt-tile {args.quilt_tile!r}; expected "
-                          "HxW, e.g. 1080x1920", file=sys.stderr)
-                    return 1
-                tile_size = (th, tw)
             if result.views.shape[0] >= 45:
                 written.append(result.save_quilt(
-                    f"{args.output}/quilt.png", tile_size=tile_size
+                    f"{args.output}/quilt.png", tile_size=quilt_tile
                 ))
             else:
                 print("Quilt skipped: needs >= 45 views", file=sys.stderr)

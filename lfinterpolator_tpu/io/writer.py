@@ -60,21 +60,24 @@ def write_views(
     ]
     batched = False
     if v_count > 1 and codec.native_available():
-        if views.shape[-1] == 4:
+        if views.shape[-1] == 4 and getattr(views, "flags", None) is not None \
+                and views.flags["C_CONTIGUOUS"]:
             # zero-copy when the render output is already RGBA-contiguous
-            batched = codec.encode_batch_png(
-                names, np.ascontiguousarray(views)
-            )
+            batched = codec.encode_batch_png(names, views)
+            if batched:
+                for _ in names:
+                    bar.add()
         else:
-            # RGB input: convert in bounded chunks so a 4K 64-view write
-            # never materializes a multi-GB RGBA copy of the whole stack
-            chunk = max(1, (64 * 1024 * 1024) // (views[0].nbytes * 4 // 3))
+            # RGB or non-contiguous input: stage to RGBA in bounded chunks
+            # so a 4K 64-view write never materializes a multi-GB copy
+            frame_bytes = int(np.prod(views.shape[1:3])) * 4
+            chunk = max(1, (64 * 1024 * 1024) // frame_bytes)
             batched = True
             for i in range(0, v_count, chunk):
-                part = views[i : i + chunk]
+                part = np.asarray(views[i : i + chunk])
                 rgba = np.empty((*part.shape[:3], 4), dtype=np.uint8)
-                rgba[..., :3] = part
-                rgba[..., 3] = 255
+                rgba[..., :3] = part[..., :3]
+                rgba[..., 3] = 255 if part.shape[-1] == 3 else part[..., 3]
                 if not codec.encode_batch_png(names[i : i + chunk], rgba):
                     batched = False
                     break
@@ -82,9 +85,6 @@ def write_views(
                     bar.add()
     if batched:
         written.extend(names)
-        if views.shape[-1] == 4:
-            for _ in names:
-                bar.add()
     else:
         for i in range(v_count):
             _encode_atomic(names[i], _with_alpha(views[i]))

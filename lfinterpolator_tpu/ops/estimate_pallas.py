@@ -125,6 +125,25 @@ def supports(
     return _pick_cfg(h8, w, k, steps, radius[1], radius[0], span_y, span_x) is not None
 
 
+def _edge_pad(
+    selected: jnp.ndarray, px: int, py: int, hp: int, wp: int
+) -> jnp.ndarray:
+    """[K, C, H, W] -> [K, C, HP, WP]: edge-replicate (px, py) clamp pads
+    plus the dead alignment tail in ONE broadcast+concat pass.
+
+    jnp.pad(mode="edge") lowers ~2x slower on TPU (gather-style fill, see
+    blend_pallas.pad_images); the tail rows/cols are fetched by overshooting
+    DMA windows but never selected, so edge values serve there as well as
+    zeros."""
+    k, c, h, w = selected.shape
+    top = jnp.broadcast_to(selected[:, :, :1, :], (k, c, py, w))
+    bot = jnp.broadcast_to(selected[:, :, h - 1 :, :], (k, c, hp - h - py, w))
+    x = jnp.concatenate([top, selected, bot], axis=2)
+    left = jnp.broadcast_to(x[:, :, :, :1], (k, c, hp, px))
+    right = jnp.broadcast_to(x[:, :, :, w - 1 : w], (k, c, hp, wp - w - px))
+    return jnp.concatenate([left, x, right], axis=3)
+
+
 def _swar_ge(a, b):
     """Per-byte mask (0xFF / 0x00) of a >= b (unsigned), plus a ^ b."""
     h8c = jnp.uint32(0x80808080)
@@ -726,17 +745,7 @@ def estimate_fused(
     lst = jnp.clip(px + mnx - (rx + 2), 0, wp - wl) // 128 * 128
 
     # edge-padded stack with clamp semantics + dead alignment tail
-    padded = jnp.pad(
-        selected, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge"
-    )
-    padded = jnp.pad(
-        padded,
-        (
-            (0, 0), (0, 0),
-            (0, hp - (h + 2 * py)),
-            (0, wp - (w_in + 2 * px)),
-        ),
-    )
+    padded = _edge_pad(selected, px, py, hp, wp)
 
     kernel = functools.partial(
         _est_kernel,
@@ -852,17 +861,7 @@ def estimate_fast_fused(
     mnx = nxs_c.min(axis=1)
     lst = jnp.clip(px + mnx - (rx + 2), 0, wp - wl) // 128 * 128
 
-    padded = jnp.pad(
-        selected, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge"
-    )
-    padded = jnp.pad(
-        padded,
-        (
-            (0, 0), (0, 0),
-            (0, hp - (h + 2 * py)),
-            (0, wp - (w_in + 2 * px)),
-        ),
-    )
+    padded = _edge_pad(selected, px, py, hp, wp)
 
     rc4 = (tb + 2 * ry) // 4 + 2
     kernel = functools.partial(

@@ -149,6 +149,10 @@ def estimate_focus_map(
         from . import estimate_pallas
         from .blend_pallas import is_available
 
+        # Same pad floor as the XLA padded branch below: the kernels' clip
+        # bounds +-(py-ry-1)/+-(px-rx-1) assume pad > radius, and the XLA
+        # path this route must match bit-for-bit applies the identical max.
+        pxe, pye = max(int(pad[0]), rx + 1), max(int(pad[1]), ry + 1)
         if exact_taps:
             if is_available() and estimate_pallas.supports(
                 h_out, w, k, steps, (rx, ry), spans[0], spans[1]
@@ -156,7 +160,7 @@ def estimate_focus_map(
                 return estimate_pallas.estimate_fused(
                     selected, sel_offsets, focus, focus_range,
                     h_out=h_out, w=w, radius=(rx, ry), steps=steps,
-                    px=int(pad[0]), py=int(pad[1]),
+                    px=pxe, py=pye,
                     span_y=int(spans[0]), span_x=int(spans[1]),
                     row_start=row_start,
                 )[:h_out, :w]
@@ -166,7 +170,7 @@ def estimate_focus_map(
             return estimate_pallas.estimate_fast_fused(
                 selected, sel_offsets, focus, focus_range,
                 h_out=h_out, w=w, radius=(rx, ry), steps=steps,
-                px=int(pad[0]), py=int(pad[1]),
+                px=pxe, py=pye,
                 span_y=int(spans[0]), span_x=int(spans[1]),
                 row_start=row_start,
             )[:h_out, :w]

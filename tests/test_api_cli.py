@@ -252,3 +252,18 @@ def test_cli_quilt_tile_flag(scene_dir, tmp_path, capsys):
     )
     assert rc == 1
     assert "quilt-tile" in capsys.readouterr().err
+
+
+def test_cli_quilt_tile_rejected_before_render(scene_dir, tmp_path, capsys):
+    """Bad --quilt-tile values (non-numeric, zero, negative) fail BEFORE
+    the render: exit 1, clear message, and no output directory created."""
+    d, _, _ = scene_dir
+    for bad in ("junk", "0x32", "24x-32"):
+        out = str(tmp_path / f"never_{bad}")
+        rc = cli.main(
+            ["-i", d, "-o", out, "-t", "0.0,0.0,1.0,1.0", "-m", "STD",
+             "--quilt-tile", bad, "--no-progress"]
+        )
+        assert rc == 1, bad
+        assert "quilt-tile" in capsys.readouterr().err
+        assert not os.path.exists(out), bad

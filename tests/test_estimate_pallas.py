@@ -209,3 +209,45 @@ def test_estimate_focus_map_routes_fast_to_fused(rng):
         )
         assert spy.call_count == 1
     np.testing.assert_array_equal(np.asarray(routed), np.asarray(plain))
+
+
+def test_small_user_pad_matches_xla(rng):
+    """A user pad smaller than radius+1 gets the same floor the XLA padded
+    branch applies, so the fused routes stay bit-identical instead of
+    producing a silently wrong map (px=4 <= rx=4 exercises the floor)."""
+    cols = rows = 4
+    h, w, K, steps = 64, 384, 8, 8
+    focus, frange, radius = 0.1, 0.4, (4, 2)
+    offsets, _, sel_img, sel_off = _setup(
+        rng, cols, rows, h, w, K, focus, frange, radius
+    )
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    pad = (4, 2)  # == radius: below the rx+1/ry+1 floor
+    for exact in (True, False):
+        want = focus_ops.estimate_focus_map(
+            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+            radius, steps=steps, pad=pad, exact_taps=exact,
+        )
+        got = focus_ops.estimate_focus_map(
+            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+            radius, steps=steps, pad=pad, exact_taps=exact, spans=spans,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=f"exact={exact}"
+        )
+
+
+def test_sel_mode_bitwise_matches_where(rng):
+    """The recorded-experiment bitwise select path stays equivalent."""
+    offsets, pad, sel_img, sel_off = _setup(
+        rng, 4, 4, 48, 384, 6, 0.1, 0.4, (4, 2)
+    )
+    kw = dict(steps=6, pad=pad, exact_taps=True)
+    a = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(0.1), jnp.float32(0.4), (4, 2), **kw
+    )
+    b = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(0.1), jnp.float32(0.4), (4, 2),
+        sel_mode="bitwise", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
