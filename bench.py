@@ -12,7 +12,8 @@ repetitions, reference: src/interpolator.cu:271-295).
 
 Other BASELINE configs: `python bench.py --config NAME` or env
 LFI_BENCH_CONFIG with one of: headline, c1_2x2_512, c2_4x4_1024,
-c3_allfocus_1080, c4_quilt_1080, c5_video_4k, c6_serving_batch, all.
+c3_allfocus_1080, c3_fast_allfocus_1080, c4_quilt_1080, c5_video_4k,
+c6_serving_batch, all.
 
 Timing method: N dispatches in flight with distinct shift tables per run and
 one tiny-fetch sync at the end (the production serving pattern). Repeated
@@ -253,6 +254,40 @@ def bench_c3():
     )
 
 
+def bench_c3_fast():
+    # c3's --fast-focus variant: same pipeline with the fast tap rule
+    # (fused fast-taps estimate kernel; reference has no such mode knob).
+    cols = rows = 4
+    h, w, v = 1080, 1920, 64
+    start_end, wm, offsets, _ = _setup(cols, rows, h, w, v)
+    planar = _structured_scene(cols, rows, h, w)
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 16))
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
+
+    spread = allfocus_pallas.spread_bound(offsets, 0.1, 0.3)
+    spans = estimate_pallas.chunk_spans(offsets, 0.1, 0.3, 32, 4)
+    weights = jnp.asarray(wm)
+    offj = jnp.asarray(offsets)
+
+    def step(i):
+        return pipeline.render_all_focus(
+            planar, weights, offj,
+            jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
+            method="TEN", radius=radius, filter_radius=frad, steps=32,
+            pad=pad, spread=spread, spans=spans, exact_taps=False,
+        )
+
+    per = _throughput(step, max(4, RUNS // 8))
+    gps = v * h * w / per / 1e9
+    _emit(
+        f"4x4-grid 1080p all-in-focus pipeline, --fast-focus tap rule "
+        f"({per*1000:.0f} ms)", gps, "GP/s", gps / BASELINE_GPS,
+    )
+
+
 def bench_c4():
     # headline blend + on-device 5x9 quilt assembly.
     cols = rows = 8
@@ -361,6 +396,7 @@ CONFIGS = {
     "c1_2x2_512": bench_c1,
     "c2_4x4_1024": bench_c2,
     "c3_allfocus_1080": bench_c3,
+    "c3_fast_allfocus_1080": bench_c3_fast,
     "c4_quilt_1080": bench_c4,
     "c5_video_4k": bench_c5,
     "c6_serving_batch": bench_c6,
