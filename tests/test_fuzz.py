@@ -202,3 +202,46 @@ def test_allfocus_kernel_random_config(seed, rng, monkeypatch):
     np.testing.assert_array_equal(
         got, want, err_msg=f"seed={seed} cfg={(g, h, w, steps, focus, frange)}"
     )
+
+
+@pytest.mark.parametrize("seed", CASES[:4])
+def test_estimate_kernels_random_config(seed, rng, monkeypatch):
+    """Both fused estimate kernels (exact + fast tap rule) equal their XLA
+    paths bit for bit on random supported geometries."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    from lfinterpolator_tpu.ops import estimate_pallas as ep
+
+    r = np.random.default_rng(1000 + seed)
+    cols = rows = 4
+    h = int(r.integers(4, 13)) * 8
+    w = int(r.integers(2, 4)) * 128 + int(r.integers(0, 64))
+    K = int(r.choice([4, 7, 8]))
+    steps = int(r.choice([4, 8, 12]))
+    focus = float(r.uniform(-0.4, 0.4))
+    frange = float(r.uniform(0.2, 0.6))
+    radius = (int(r.integers(2, 8)), int(r.integers(2, 6)))
+    se = np.array([0, 0, cols - 1.0, rows - 1.0], np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, float(r.choice([1.0, 1.783])),
+        geometry.trajectory_center(se),
+    )
+    ids = np.asarray(geometry.select_focus_views(se, cols, rows, K))
+    pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    sel_img = jnp.asarray(rng.integers(0, 256, (K, 3, h, w), dtype=np.uint8))
+    sel_off = jnp.asarray(offsets)[jnp.asarray(ids)]
+    for exact, sup in (
+        (True, ep.supports), (False, ep.supports_fast)
+    ):
+        if not sup(h, w, K, steps, radius, spans[0], spans[1]):
+            continue
+        args = (sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+                radius)
+        kw = dict(steps=steps, pad=pad, exact_taps=exact)
+        want = focus_ops.estimate_focus_map(*args, **kw)
+        got = focus_ops.estimate_focus_map(*args, spans=spans, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want),
+            err_msg=f"seed={seed} exact={exact} "
+                    f"cfg={(h, w, K, steps, focus, frange, radius)}",
+        )
