@@ -84,32 +84,55 @@ def chunk_spans(
     return rnd(sy), rnd(sx)
 
 
+def _wchunks(w128: int):
+    """Output lane-chunk widths to try, widest first: the full width, then
+    progressively narrower 128-multiple divisors. Narrower chunks shrink
+    the K-window VMEM set (windows overlap horizontally by the span+radius
+    slack, ~10-15% extra fetch per split) -- how 4K geometries fit."""
+    seen = []
+    for n in (1, 2, 3, 4, 5, 6, 8, 10, 12, 15):
+        if w128 % n == 0 and w128 // n % 128 == 0 and w128 // n >= 256:
+            if w128 // n not in seen:
+                seen.append(w128 // n)
+    return seen or [w128]
+
+
 def _pick_cfg(
-    h8: int, w: int, k: int, steps: int, ry: int, rx: int,
+    h8: int, w128: int, k: int, steps: int, ry: int, rx: int,
     span_y: int, span_x: int, budget: int = 13 * 1024 * 1024,
 ):
-    """Choose (TB, TBW, WL, CC, SC) fitting VMEM, or None.
+    """Choose (TB, TBW, WL, CC, SC, WCO) fitting VMEM, or None.
 
     Working set: K u8 windows [TBW, WL] + packed accumulators
     (18 + 9*SC + ~6 temps) x [TB/4, WL] u32 + best state.
     """
-    for sc in (4, 2, 1):
-        if steps % sc:
-            continue
-        cc = steps // sc
-        wl = _align(w + span_x + 2 * rx + 140, 128)
-        for tb in range(40, 7, -8):
-            if h8 % tb:
+    # Pass 1 caps the window/band fetch amplification at 4x: a narrower
+    # lane chunk with tall bands beats a full-width chunk forced down to
+    # tb=8 (16x fetch amplification and 3-4x the window-DMA issue count,
+    # the 4K failure mode). Pass 2 drops the cap as a last resort.
+    for amp_cap in (4, 10**9):
+        for wco in _wchunks(w128):
+            wl = _align(wco + span_x + 2 * rx + 140, 128)
+            if wl > 8 * 3968:  # lane-roll temporaries would blow VMEM
                 continue
-            tbw = _align(tb + span_y + 2 * ry + 16, 32)
-            nbp4 = tb  # bytes per lane-column of packed [TB/4] u32
-            need = (
-                k * tbw * wl
-                + (18 + 9 * sc + 8) * nbp4 * wl
-                + 10 * nbp4 * wl  # best-cost planes + temps
-            )
-            if need <= budget:
-                return tb, tbw, wl, cc, sc
+            for sc in (4, 2, 1):
+                if steps % sc:
+                    continue
+                cc = steps // sc
+                for tb in range(40, 7, -8):
+                    if h8 % tb:
+                        continue
+                    tbw = _align(tb + span_y + 2 * ry + 16, 32)
+                    if tbw > amp_cap * tb:
+                        continue
+                    nbp4 = tb  # bytes per lane-col of packed [TB/4] u32
+                    need = (
+                        k * tbw * wl
+                        + (18 + 9 * sc + 8) * nbp4 * wl
+                        + 10 * nbp4 * wl  # best-cost planes + temps
+                    )
+                    if need <= budget:
+                        return tb, tbw, wl, cc, sc, wco
     return None
 
 
@@ -120,9 +143,13 @@ def supports(
     h8 = _align(h_out, 8)
     if w < 256 or h8 < 8 or k < 1 or steps < 2:
         return False
-    if _align(w + span_x + 2 * radius[0] + 140, 128) > 8 * 3968:
-        return False
-    return _pick_cfg(h8, w, k, steps, radius[1], radius[0], span_y, span_x) is not None
+    return (
+        _pick_cfg(
+            h8, _align(w, 128), k, steps, radius[1], radius[0],
+            span_y, span_x,
+        )
+        is not None
+    )
 
 
 def _edge_pad(
@@ -161,7 +188,7 @@ def _est_kernel(
     nys_ref,  # SMEM [S, K] i32 (clipped floor, = XLA dyf)
     nxs_ref,  # SMEM [S, K] i32 (clipped floor, = XLA dxf)
     base8_ref,  # SMEM [CC, K] i32 (8-aligned window row base, band 0)
-    lst_ref,  # SMEM [CC, K] i32 (128-aligned window lane start)
+    lst_ref,  # SMEM [WC, CC, K] i32 (128-aligned window lane start)
     lvl_ref,  # SMEM [S] i32 (map byte per candidate)
     rs_ref,  # SMEM [1] i32 (row_start)
     pad_ref,  # HBM [K, C, HP, WP] u8 (edge-padded view stack)
@@ -181,15 +208,16 @@ def _est_kernel(
     rx: int,
     px: int,
     py: int,
-    w128: int,
+    wco: int,
     k_views: int,
     n_ch: int,
 ):
     band = pl.program_id(0)
-    cc = pl.program_id(1)
-    c = pl.program_id(2)
-    s_in = pl.program_id(3)
-    n_cc = pl.num_programs(1)
+    wc = pl.program_id(1)
+    cc = pl.program_id(2)
+    c = pl.program_id(3)
+    s_in = pl.program_id(4)
+    n_cc = pl.num_programs(2)
     s = cc * sc + s_in
 
     nbp = tb // 4
@@ -198,7 +226,7 @@ def _est_kernel(
     ffu = jnp.uint32(0xFF)
     zero = jnp.uint32(0)
 
-    # ---- window set DMA: once per (band, chunk, channel) ----
+    # ---- window set DMA: once per (band, lane-chunk, cand-chunk, ch) ----
     @pl.when(s_in == 0)
     def _():
         # the trailing //8*8 and //128*128 are no-ops on the already-aligned
@@ -206,7 +234,7 @@ def _est_kernel(
         # values carry no alignment facts)
         def copy_kv(kv):
             ws = (base8_ref[cc, kv] + band * tb) // 8 * 8
-            ls = lst_ref[cc, kv] // 128 * 128
+            ls = lst_ref[wc, cc, kv] // 128 * 128
             return pltpu.make_async_copy(
                 pad_ref.at[kv, c, pl.ds(ws, tbw), pl.ds(ls, wl)],
                 win.at[kv],
@@ -234,7 +262,8 @@ def _est_kernel(
     ysp = jax.lax.broadcasted_iota(jnp.int32, (nbp, 1), 0) * 4 + (
         rs_ref[0] + band * tb
     )
-    qx = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    # lane l of this chunk is output column wc*wco + l
+    qx = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1) + wc * wco
     qxf = qx.astype(jnp.float32)
 
     row_offs = sorted({syo + d for syo in (-ry, 0, ry) for d in (-1, 0, 1)})
@@ -302,7 +331,9 @@ def _est_kernel(
         dxp = dxo == 1
         dxm = dxo == -1
 
-        rxl = px + nx - lst_ref[cc, kv]  # lane roll: rolled[l] = A[l + rxl]
+        # lane roll: rolled[l] = A[l + rxl]; window lane of out col
+        # wc*wco + l is (wc*wco + l) + nx + px - lst
+        rxl = px + nx + wc * wco - lst_ref[wc, cc, kv]
 
         taps = []
         for syo in (-ry, 0, ry):
@@ -390,38 +421,44 @@ def _est_kernel(
         @pl.when((cc == n_cc - 1) & (s_in == sc - 1))
         def _():
             out_ref[:, :] = pltpu.bitcast(bestb[:, :], jnp.uint8)[
-                :, 0:w128
+                :, 0:wco
             ]
 
 
 def _pick_cfg_fast(
-    h8: int, w: int, k: int, steps: int, ry: int, rx: int,
+    h8: int, w128: int, k: int, steps: int, ry: int, rx: int,
     span_y: int, span_x: int, budget: int = 13 * 1024 * 1024,
 ):
-    """Choose (TB, TBW, WL, CC, SC) for the fast-taps kernel, or None.
+    """Choose (TB, TBW, WL, CC, SC, WCO) for the fast-taps kernel, or None.
 
     Working set: K u8 windows [TBW, WL] (the binding term, same as the
     exact kernel) + (2 minmax + SC chmax + ~8 temps) packed maps of
     [RC4, WL] u32 with RC4 = (TB + 2ry)/4 + 2 (the corrected window
     overhangs the band by +-ry rows) + best state.
     """
-    for sc in (4, 2, 1):
-        if steps % sc:
-            continue
-        cc = steps // sc
-        wl = _align(w + span_x + 2 * rx + 140, 128)
-        for tb in range(96, 7, -8):
-            if h8 % tb:
+    for amp_cap in (4, 10**9):  # see _pick_cfg: cap fetch amplification
+        for wco in _wchunks(w128):
+            wl = _align(wco + span_x + 2 * rx + 140, 128)
+            if wl > 8 * 3968:
                 continue
-            tbw = _align(tb + span_y + 2 * ry + 16, 32)
-            rc4b = tb + 2 * ry + 8  # bytes/lane of one [RC4, WL] u32 map
-            need = (
-                k * tbw * wl
-                + (2 + sc + 8) * rc4b * wl
-                + 6 * tb * wl  # best-cost planes + byte register
-            )
-            if need <= budget:
-                return tb, tbw, wl, cc, sc
+            for sc in (4, 2, 1):
+                if steps % sc:
+                    continue
+                cc = steps // sc
+                for tb in range(96, 7, -8):
+                    if h8 % tb:
+                        continue
+                    tbw = _align(tb + span_y + 2 * ry + 16, 32)
+                    if tbw > amp_cap * tb:
+                        continue
+                    rc4b = tb + 2 * ry + 8  # bytes/lane, one [RC4, WL] u32
+                    need = (
+                        k * tbw * wl
+                        + (2 + sc + 8) * rc4b * wl
+                        + 6 * tb * wl  # best-cost planes + byte register
+                    )
+                    if need <= budget:
+                        return tb, tbw, wl, cc, sc, wco
     return None
 
 
@@ -432,11 +469,10 @@ def supports_fast(
     h8 = _align(h_out, 8)
     if w < 256 or h8 < 8 or k < 1 or steps < 2:
         return False
-    if _align(w + span_x + 2 * radius[0] + 140, 128) > 8 * 3968:
-        return False
     return (
         _pick_cfg_fast(
-            h8, w, k, steps, radius[1], radius[0], span_y, span_x
+            h8, _align(w, 128), k, steps, radius[1], radius[0],
+            span_y, span_x,
         )
         is not None
     )
@@ -448,7 +484,7 @@ def _est_fast_kernel(
     nys_ref,  # SMEM [S, K] i32
     nxs_ref,  # SMEM [S, K] i32
     base8_ref,  # SMEM [CC, K] i32
-    lst_ref,  # SMEM [CC, K] i32
+    lst_ref,  # SMEM [WC, CC, K] i32
     lvl_ref,  # SMEM [S] i32
     rs_ref,  # SMEM [1] i32
     pad_ref,  # HBM [K, C, HP, WP] u8
@@ -469,7 +505,7 @@ def _est_fast_kernel(
     rx: int,
     px: int,
     py: int,
-    w128: int,
+    wco: int,
     k_views: int,
     n_ch: int,
 ):
@@ -481,10 +517,11 @@ def _est_fast_kernel(
     slices of the single per-candidate range map. Bit-identical to the
     XLA cost_fast path (ops/focus.py::cost_fast)."""
     band = pl.program_id(0)
-    cc = pl.program_id(1)
-    c = pl.program_id(2)
-    s_in = pl.program_id(3)
-    n_cc = pl.num_programs(1)
+    wc = pl.program_id(1)
+    cc = pl.program_id(2)
+    c = pl.program_id(3)
+    s_in = pl.program_id(4)
+    n_cc = pl.num_programs(2)
     s = cc * sc + s_in
 
     nbp = tb // 4
@@ -499,7 +536,7 @@ def _est_fast_kernel(
     def _():
         def copy_kv(kv):
             ws = (base8_ref[cc, kv] + band * tb) // 8 * 8
-            ls = lst_ref[cc, kv] // 128 * 128
+            ls = lst_ref[wc, cc, kv] // 128 * 128
             return pltpu.make_async_copy(
                 pad_ref.at[kv, c, pl.ds(ws, tbw), pl.ds(ls, wl)],
                 win.at[kv],
@@ -525,7 +562,7 @@ def _est_fast_kernel(
     ysp = jax.lax.broadcasted_iota(jnp.int32, (rc4, 1), 0) * 4 + (
         rs_ref[0] + band * tb - ry
     )
-    qxw = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1) - rx
+    qxw = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1) - rx + wc * wco
     qxwf = qxw.astype(jnp.float32)
 
     def corrected_window(kv):
@@ -579,7 +616,7 @@ def _est_fast_kernel(
         rsel = (mm & variants[-1]) | (mp & variants[1]) | (nm & variants[0])
 
         # lane alignment: window lane l is col l - rx, so roll by rxl - rx
-        a = px + nx - lst_ref[cc, kv] - rx
+        a = px + nx + wc * wco - lst_ref[wc, cc, kv] - rx
         r0 = pltpu.roll(rsel, (wl - a % wl) % wl, 1)
         lvp = pltpu.roll(r0, wl - 1, 1)  # r0[l + 1]
         lvm = pltpu.roll(r0, 1, 1)  # r0[l - 1]
@@ -660,7 +697,7 @@ def _est_fast_kernel(
         @pl.when((cc == n_cc - 1) & (s_in == sc - 1))
         def _():
             out_ref[:, :] = pltpu.bitcast(bestb[:, :], jnp.uint8)[
-                :, 0:w128
+                :, 0:wco
             ]
 
 
@@ -699,11 +736,12 @@ def estimate_fused(
     rx, ry = int(radius[0]), int(radius[1])
     h8 = _align(h_out, 8)
     w128 = _align(w, 128)
-    cfg = _pick_cfg(h8, w, k, steps, ry, rx, span_y, span_x)
+    cfg = _pick_cfg(h8, w128, k, steps, ry, rx, span_y, span_x)
     if cfg is None:
         raise ValueError("geometry unsupported; check supports() first")
-    tb, tbw, wl, cc, sc = cfg
+    tb, tbw, wl, cc, sc, wco = cfg
     nb = h8 // tb
+    n_wc = w128 // wco
 
     focus = jnp.asarray(focus, jnp.float32)
     focus_range = jnp.asarray(focus_range, jnp.float32)
@@ -741,8 +779,11 @@ def estimate_fused(
     base = py + row_start + mny - (ry + 2)
     base8 = jnp.clip(base, 0, hp - tbw - (nb - 1) * tb) // 8 * 8
     nxs_c = nxs.reshape(cc, sc, k)
-    mnx = nxs_c.min(axis=1)
-    lst = jnp.clip(px + mnx - (rx + 2), 0, wp - wl) // 128 * 128
+    mnx = nxs_c.min(axis=1)  # [CC, K]
+    wcol = jnp.arange(n_wc, dtype=jnp.int32)[:, None, None] * wco
+    lst = jnp.clip(
+        px + wcol + mnx[None] - (rx + 2), 0, wp - wl
+    ) // 128 * 128  # [WC, CC, K]
 
     # edge-padded stack with clamp semantics + dead alignment tail
     padded = _edge_pad(selected, px, py, hp, wp)
@@ -750,15 +791,15 @@ def estimate_fused(
     kernel = functools.partial(
         _est_kernel,
         tb=tb, tbw=tbw, wl=wl, sc=sc, ry=ry, rx=rx, px=px, py=py,
-        w128=w128, k_views=k, n_ch=c,
+        wco=wco, k_views=k, n_ch=c,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(nb, cc, c, sc),
+        grid=(nb, n_wc, cc, c, sc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(
-            (tb, w128), lambda b, ccg, cg, sg: (b, 0),
+            (tb, wco), lambda b, wcg, ccg, cg, sg: (b, wcg),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((h8, w128), jnp.uint8),
@@ -771,8 +812,8 @@ def estimate_fused(
             pltpu.SemaphoreType.DMA((k,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=300 * steps * k * c * h8 * wl // 4,
-            bytes_accessed=nb * cc * c * k * tbw * wl,
+            flops=300 * steps * k * c * h8 * n_wc * wl // 4,
+            bytes_accessed=nb * n_wc * cc * c * k * tbw * wl,
             transcendentals=0,
         ),
         interpret=_interpret(),
@@ -822,11 +863,12 @@ def estimate_fast_fused(
     rx, ry = int(radius[0]), int(radius[1])
     h8 = _align(h_out, 8)
     w128 = _align(w, 128)
-    cfg = _pick_cfg_fast(h8, w, k, steps, ry, rx, span_y, span_x)
+    cfg = _pick_cfg_fast(h8, w128, k, steps, ry, rx, span_y, span_x)
     if cfg is None:
         raise ValueError("geometry unsupported; check supports_fast() first")
-    tb, tbw, wl, cc, sc = cfg
+    tb, tbw, wl, cc, sc, wco = cfg
     nb = h8 // tb
+    n_wc = w128 // wco
 
     focus = jnp.asarray(focus, jnp.float32)
     focus_range = jnp.asarray(focus_range, jnp.float32)
@@ -858,8 +900,9 @@ def estimate_fast_fused(
     base = py + row_start + mny - (ry + 2)
     base8 = jnp.clip(base, 0, hp - tbw - (nb - 1) * tb) // 8 * 8
     nxs_c = nxs.reshape(cc, sc, k)
-    mnx = nxs_c.min(axis=1)
-    lst = jnp.clip(px + mnx - (rx + 2), 0, wp - wl) // 128 * 128
+    mnx = nxs_c.min(axis=1)  # [CC, K]
+    wcol = jnp.arange(n_wc, dtype=jnp.int32)[:, None, None] * wco
+    lst = jnp.clip(px + wcol + mnx[None] - (rx + 2), 0, wp - wl) // 128 * 128
 
     padded = _edge_pad(selected, px, py, hp, wp)
 
@@ -867,15 +910,15 @@ def estimate_fast_fused(
     kernel = functools.partial(
         _est_fast_kernel,
         tb=tb, tbw=tbw, wl=wl, sc=sc, ry=ry, rx=rx, px=px, py=py,
-        w128=w128, k_views=k, n_ch=c,
+        wco=wco, k_views=k, n_ch=c,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(nb, cc, c, sc),
+        grid=(nb, n_wc, cc, c, sc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(
-            (tb, w128), lambda b, ccg, cg, sg: (b, 0),
+            (tb, wco), lambda b, wcg, ccg, cg, sg: (b, wcg),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((h8, w128), jnp.uint8),
@@ -889,8 +932,8 @@ def estimate_fast_fused(
             pltpu.SemaphoreType.DMA((k,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=60 * steps * k * c * h8 * wl // 4,
-            bytes_accessed=nb * cc * c * k * tbw * wl,
+            flops=60 * steps * k * c * h8 * n_wc * wl // 4,
+            bytes_accessed=nb * n_wc * cc * c * k * tbw * wl,
             transcendentals=0,
         ),
         interpret=_interpret(),

@@ -251,3 +251,31 @@ def test_sel_mode_bitwise_matches_where(rng):
         sel_mode="bitwise", **kw
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lane_chunked_grids_match_xla(rng, monkeypatch):
+    """Forcing WCO < W128 (the 4K-fitting lane-chunk mode) stays
+    bit-identical for both kernels, including the per-chunk window
+    tables and in-kernel column-coordinate offsets."""
+    cols = rows = 4
+    h, w, K, steps = 64, 512, 8, 8
+    focus, frange, radius = 0.1, 0.4, (4, 2)
+    offsets, pad, sel_img, sel_off = _setup(
+        rng, cols, rows, h, w, K, focus, frange, radius
+    )
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    monkeypatch.setattr(ep, "_wchunks", lambda w128: [256])
+    for exact in (True, False):
+        want = focus_ops.estimate_focus_map(
+            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+            radius, steps=steps, pad=pad, exact_taps=exact,
+        )
+        fn = ep.estimate_fused if exact else ep.estimate_fast_fused
+        got = fn.__wrapped__(
+            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+            h_out=h, w=w, radius=radius, steps=steps,
+            px=pad[0], py=pad[1], span_y=spans[0], span_x=spans[1],
+        )[:h, :w]
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=f"exact={exact}"
+        )
