@@ -266,16 +266,20 @@ def test_lane_chunked_grids_match_xla(rng, monkeypatch):
     spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
     monkeypatch.setattr(ep, "_wchunks", lambda w128: [256])
     for exact in (True, False):
-        want = focus_ops.estimate_focus_map(
-            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
-            radius, steps=steps, pad=pad, exact_taps=exact,
-        )
-        fn = ep.estimate_fused if exact else ep.estimate_fast_fused
-        got = fn.__wrapped__(
-            sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
-            h_out=h, w=w, radius=radius, steps=steps,
-            px=pad[0], py=pad[1], span_y=spans[0], span_x=spans[1],
-        )[:h, :w]
-        np.testing.assert_array_equal(
-            np.asarray(got), np.asarray(want), err_msg=f"exact={exact}"
-        )
+        for rs, rc in ((0, h), (24, 32)):  # full frame + a sharded block
+            want = focus_ops.estimate_focus_map(
+                sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+                radius, steps=steps, pad=pad, exact_taps=exact,
+                row_start=rs, row_count=rc,
+            )
+            fn = ep.estimate_fused if exact else ep.estimate_fast_fused
+            got = fn.__wrapped__(
+                sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+                h_out=rc, w=w, radius=radius, steps=steps,
+                px=pad[0], py=pad[1], span_y=spans[0], span_x=spans[1],
+                row_start=rs,
+            )[:rc, :w]
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want),
+                err_msg=f"exact={exact} rows=({rs},{rc})",
+            )
