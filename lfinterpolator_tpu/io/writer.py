@@ -15,6 +15,10 @@ import numpy as np
 from ..utils.progress import LoadingBar
 from . import codec
 
+# Bound on the RGBA staging buffer the batch-encode path materializes at
+# once (a 4K 64-view RGB write would otherwise stage a multi-GB copy).
+_BATCH_STAGE_BYTES = 64 * 1024 * 1024
+
 
 def _with_alpha(img: np.ndarray) -> np.ndarray:
     """[H, W, 3] -> [H, W, 4] with alpha 255 (outputs always have alpha=255,
@@ -71,7 +75,7 @@ def write_views(
             # RGB or non-contiguous input: stage to RGBA in bounded chunks
             # so a 4K 64-view write never materializes a multi-GB copy
             frame_bytes = int(np.prod(views.shape[1:3])) * 4
-            chunk = max(1, (64 * 1024 * 1024) // frame_bytes)
+            chunk = max(1, _BATCH_STAGE_BYTES // frame_bytes)
             batched = True
             for i in range(0, v_count, chunk):
                 part = np.asarray(views[i : i + chunk])

@@ -182,3 +182,26 @@ def test_write_views_roundtrip(tmp_path, rng, channels):
         np.testing.assert_array_equal(back[..., :3], views[i][..., :3])
         assert (back[..., 3] == 255).all()
     assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_write_views_chunked_staging(tmp_path, rng, monkeypatch):
+    """The bounded-staging loop splits big RGB stacks into several
+    batch-encode calls and still produces every frame."""
+    from lfinterpolator_tpu.io import writer
+
+    if not codec.native_available():
+        pytest.skip("native codec not built")
+    monkeypatch.setattr(writer, "_BATCH_STAGE_BYTES", 2 * 24 * 40 * 4)
+    views = rng.integers(0, 256, (7, 24, 40, 3), dtype=np.uint8)
+    calls = []
+    real = codec.encode_batch_png
+
+    def spy(paths, stack, threads=None):
+        calls.append(len(paths))
+        return real(paths, stack, threads)
+
+    monkeypatch.setattr(codec, "encode_batch_png", spy)
+    out = writer.write_views(str(tmp_path), views, progress=False)
+    assert len(out) == 7 and len(calls) == 4 and calls == [2, 2, 2, 1]
+    for i, p in enumerate(out):
+        np.testing.assert_array_equal(codec.decode(p)[..., :3], views[i])
