@@ -115,18 +115,18 @@ def test_sharded_all_focus_matches_unsharded(devices, small_lf, monkeypatch):
 
     planar = blend_xla.to_planar(jnp.asarray(images))
     args = dict(radius=radius, filter_radius=frad, steps=steps, spans=spans)
-    for method in ("STD", "TEN"):
+    for method, exact in (("STD", True), ("TEN", True), ("TEN", False)):
         want_views, want_maps = pipeline.render_all_focus(
             planar, jnp.asarray(wm), jnp.asarray(offsets),
             jnp.float32(0.0), jnp.float32(0.5), jnp.asarray(ids),
-            method=method, pad=pad, **args,
+            method=method, pad=pad, exact_taps=exact, **args,
         )
         m = pmesh.make_mesh(devices, view_parallel=2)
         imgs_d, w_d = pmesh.shard_inputs(m, planar, jnp.asarray(wm))
         got_views, got_maps = pmesh.render_all_focus_sharded(
             m, imgs_d, w_d, jnp.asarray(offsets),
             jnp.float32(0.0), jnp.float32(0.5), jnp.asarray(ids),
-            method=method, pad=pad, **args,
+            method=method, pad=pad, exact_taps=exact, **args,
         )
         np.testing.assert_array_equal(
             np.asarray(got_maps), np.asarray(want_maps), err_msg=method
