@@ -29,8 +29,10 @@ formulation that round 2 measured losing. A stripped core of this kernel
 measured 17.0 ms per (8 candidates x 32 views x 9 cells x 1 channel) at
 1056x1920 -- ~204 ms extrapolated vs 484 ms XLA.
 
-Structure (grid = (bands, cand-chunks, channels, cands-in-chunk), last
-dim fastest):
+Structure (grid = (bands, lane-chunks, cand-chunks, channels,
+cands-in-chunk), last dim fastest; lane chunks split the output width
+when the K-window VMEM set would overflow at full width -- see
+_cfg_candidates):
 
   * per (band, chunk, channel): K window DMAs from the edge-padded view
     stack (one strided [TBW, WL] window per view, start 8/128-aligned via
@@ -97,6 +99,37 @@ def _wchunks(w128: int):
     return seen or [w128]
 
 
+def _cfg_candidates(
+    h8: int, w128: int, steps: int, ry: int, rx: int,
+    span_y: int, span_x: int, tb_max: int,
+):
+    """Yield (tb, tbw, wl, cc, sc, wco) candidates in preference order.
+
+    Priority: fetch-amplification cap first (4x, then uncapped -- a
+    narrower lane chunk with tall bands beats a full-width chunk forced
+    down to tb=8, the 4K failure mode: 16x window/band amplification and
+    3-4x the DMA issue count); then LARGE sc (small sc refetches the K
+    windows steps/sc times per band/channel -- a 2-32x multiplier, far
+    bigger than lane-chunk overhead); then wide lane chunks (less wl/wco
+    overhead); then tall bands."""
+    for amp_cap in (4, 10**9):
+        for sc in (4, 2, 1):
+            if steps % sc:
+                continue
+            cc = steps // sc
+            for wco in _wchunks(w128):
+                wl = _align(wco + span_x + 2 * rx + 140, 128)
+                if wl > 8 * 3968:  # lane-roll temporaries would blow VMEM
+                    continue
+                for tb in range(tb_max, 7, -8):
+                    if h8 % tb:
+                        continue
+                    tbw = _align(tb + span_y + 2 * ry + 16, 32)
+                    if tbw > amp_cap * tb:
+                        continue
+                    yield tb, tbw, wl, cc, sc, wco
+
+
 def _pick_cfg(
     h8: int, w128: int, k: int, steps: int, ry: int, rx: int,
     span_y: int, span_x: int, budget: int = 13 * 1024 * 1024,
@@ -106,33 +139,16 @@ def _pick_cfg(
     Working set: K u8 windows [TBW, WL] + packed accumulators
     (18 + 9*SC + ~6 temps) x [TB/4, WL] u32 + best state.
     """
-    # Pass 1 caps the window/band fetch amplification at 4x: a narrower
-    # lane chunk with tall bands beats a full-width chunk forced down to
-    # tb=8 (16x fetch amplification and 3-4x the window-DMA issue count,
-    # the 4K failure mode). Pass 2 drops the cap as a last resort.
-    for amp_cap in (4, 10**9):
-        for wco in _wchunks(w128):
-            wl = _align(wco + span_x + 2 * rx + 140, 128)
-            if wl > 8 * 3968:  # lane-roll temporaries would blow VMEM
-                continue
-            for sc in (4, 2, 1):
-                if steps % sc:
-                    continue
-                cc = steps // sc
-                for tb in range(40, 7, -8):
-                    if h8 % tb:
-                        continue
-                    tbw = _align(tb + span_y + 2 * ry + 16, 32)
-                    if tbw > amp_cap * tb:
-                        continue
-                    nbp4 = tb  # bytes per lane-col of packed [TB/4] u32
-                    need = (
-                        k * tbw * wl
-                        + (18 + 9 * sc + 8) * nbp4 * wl
-                        + 10 * nbp4 * wl  # best-cost planes + temps
-                    )
-                    if need <= budget:
-                        return tb, tbw, wl, cc, sc, wco
+    for tb, tbw, wl, cc, sc, wco in _cfg_candidates(
+        h8, w128, steps, ry, rx, span_y, span_x, 40
+    ):
+        need = (
+            k * tbw * wl
+            + (18 + 9 * sc + 8) * tb * wl
+            + 10 * tb * wl  # best-cost planes + temps
+        )
+        if need <= budget:
+            return tb, tbw, wl, cc, sc, wco
     return None
 
 
@@ -169,6 +185,14 @@ def _edge_pad(
     left = jnp.broadcast_to(x[:, :, :, :1], (k, c, hp, px))
     right = jnp.broadcast_to(x[:, :, :, w - 1 : w], (k, c, hp, wp - w - px))
     return jnp.concatenate([left, x, right], axis=3)
+
+
+def _lst_table(mnx, px: int, rx: int, n_wc: int, wco: int, wp: int, wl: int):
+    """[WC, CC, K] 128-aligned window lane starts: chunk wc's out col 0
+    is px + wc*wco in padded coords; clip BEFORE the 128-floor so Mosaic
+    can prove the DMA start alignment (CLAUDE.md)."""
+    wcol = jnp.arange(n_wc, dtype=jnp.int32)[:, None, None] * wco
+    return jnp.clip(px + wcol + mnx[None] - (rx + 2), 0, wp - wl) // 128 * 128
 
 
 def _swar_ge(a, b):
@@ -436,29 +460,17 @@ def _pick_cfg_fast(
     [RC4, WL] u32 with RC4 = (TB + 2ry)/4 + 2 (the corrected window
     overhangs the band by +-ry rows) + best state.
     """
-    for amp_cap in (4, 10**9):  # see _pick_cfg: cap fetch amplification
-        for wco in _wchunks(w128):
-            wl = _align(wco + span_x + 2 * rx + 140, 128)
-            if wl > 8 * 3968:
-                continue
-            for sc in (4, 2, 1):
-                if steps % sc:
-                    continue
-                cc = steps // sc
-                for tb in range(96, 7, -8):
-                    if h8 % tb:
-                        continue
-                    tbw = _align(tb + span_y + 2 * ry + 16, 32)
-                    if tbw > amp_cap * tb:
-                        continue
-                    rc4b = tb + 2 * ry + 8  # bytes/lane, one [RC4, WL] u32
-                    need = (
-                        k * tbw * wl
-                        + (2 + sc + 8) * rc4b * wl
-                        + 6 * tb * wl  # best-cost planes + byte register
-                    )
-                    if need <= budget:
-                        return tb, tbw, wl, cc, sc, wco
+    for tb, tbw, wl, cc, sc, wco in _cfg_candidates(
+        h8, w128, steps, ry, rx, span_y, span_x, 96
+    ):
+        rc4b = tb + 2 * ry + 8  # bytes/lane of one [RC4, WL] u32 map
+        need = (
+            k * tbw * wl
+            + (2 + sc + 8) * rc4b * wl
+            + 6 * tb * wl  # best-cost planes + byte register
+        )
+        if need <= budget:
+            return tb, tbw, wl, cc, sc, wco
     return None
 
 
@@ -531,7 +543,7 @@ def _est_fast_kernel(
     ffu = jnp.uint32(0xFF)
     zero = jnp.uint32(0)
 
-    # ---- window set DMA: once per (band, chunk, channel) ----
+    # ---- window set DMA: once per (band, lane-chunk, cand-chunk, ch) ----
     @pl.when(s_in == 0)
     def _():
         def copy_kv(kv):
@@ -780,10 +792,7 @@ def estimate_fused(
     base8 = jnp.clip(base, 0, hp - tbw - (nb - 1) * tb) // 8 * 8
     nxs_c = nxs.reshape(cc, sc, k)
     mnx = nxs_c.min(axis=1)  # [CC, K]
-    wcol = jnp.arange(n_wc, dtype=jnp.int32)[:, None, None] * wco
-    lst = jnp.clip(
-        px + wcol + mnx[None] - (rx + 2), 0, wp - wl
-    ) // 128 * 128  # [WC, CC, K]
+    lst = _lst_table(mnx, px, rx, n_wc, wco, wp, wl)
 
     # edge-padded stack with clamp semantics + dead alignment tail
     padded = _edge_pad(selected, px, py, hp, wp)
@@ -901,8 +910,7 @@ def estimate_fast_fused(
     base8 = jnp.clip(base, 0, hp - tbw - (nb - 1) * tb) // 8 * 8
     nxs_c = nxs.reshape(cc, sc, k)
     mnx = nxs_c.min(axis=1)  # [CC, K]
-    wcol = jnp.arange(n_wc, dtype=jnp.int32)[:, None, None] * wco
-    lst = jnp.clip(px + wcol + mnx[None] - (rx + 2), 0, wp - wl) // 128 * 128
+    lst = _lst_table(mnx, px, rx, n_wc, wco, wp, wl)
 
     padded = _edge_pad(selected, px, py, hp, wp)
 
