@@ -196,3 +196,18 @@ def test_shift_bound_covers_and_caps():
     assert px >= 250 and py >= 150  # covers max |shift|
     px, py = blend_pallas.shift_bound(offsets, 100.0, 64, 128)
     assert px <= 128 and py <= 64  # capped at image size (clamp saturates)
+
+
+def test_blend_tiled_degenerate_shapes(rng):
+    """Single-view and single-image stacks blend identically (the kron
+    operand degenerates to [2, 2g] / [2v, 2])."""
+    for g, v in [(9, 1), (1, 5), (1, 1)]:
+        x4 = jnp.asarray(
+            rng.integers(0, 256, size=(g, 3, 8, 128), dtype=np.uint8)
+        )
+        wm = jnp.asarray(rng.random((v, g), dtype=np.float32))
+        want = blend_pallas.blend_flat(
+            x4.reshape(g, 3 * 8 * 128), wm
+        ).reshape(v, 3, 8, 128)
+        got = blend_pallas.blend_tiled(x4, wm)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
