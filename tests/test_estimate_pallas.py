@@ -1,10 +1,11 @@
-"""Fused SWAR focus-estimate kernel vs the XLA exact sweep (interpret mode).
+"""Fused SWAR focus-estimate kernels vs the XLA sweeps (interpret mode).
 
-The kernel is documented bit-identical to
-focus.estimate_focus_map(exact_taps=True, pad=...); these tests assert
-exact equality across geometries, focus signs, odd view counts, and
-sharded row blocks. Chip-scale validation + timing live in the PARITY
-notes (258.6 -> (pairwise) ms vs 482.6 ms XLA at 8x8/1080p/K=32/steps=32).
+Both kernels are documented bit-identical to their XLA paths
+(focus.estimate_focus_map with exact_taps=True / False, pad=...); these
+tests assert exact equality across geometries, focus signs, odd view
+counts, odd radii, lane-chunked grids and sharded row blocks. Chip-scale
+validation + timing live in the PARITY notes (exact: 257.2 ms vs 482.6
+XLA; fast: 97.4 vs 146.5, at 8x8/1080p/K=32/steps=32).
 """
 
 import numpy as np
