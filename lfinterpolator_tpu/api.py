@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import geometry
+from .core import capacity, geometry
 from .core.config import RenderConfig
 from .io import writer
 from .io.loader import LightField, load_light_field
@@ -131,14 +131,10 @@ class Interpolator:
                 )
         # One host->device upload of the planar RGB stack (the analogue of
         # loadGPUData, src/interpolator.cu:95-137); replicated over the mesh
-        # when sharded rendering is requested.
-        planar = blend_xla.to_planar(jnp.asarray(self.lf.images))
-        if mesh is not None:
-            from .parallel import mesh as pmesh
-
-            self.images = pmesh.replicate(mesh, planar)
-        else:
-            self.images = jax.device_put(planar)
+        # when sharded rendering is requested. May be dropped (set to None)
+        # by a memory-pressured view-batched render and re-uploaded lazily.
+        self.images: jnp.ndarray | None = None
+        self._device_images()
         # Keyed by the (bucketed) shift bound: different focus settings that
         # land in the same bucket share one padded stack and one compiled
         # program. LRU-capped: each entry is a full padded device stack
@@ -149,13 +145,25 @@ class Interpolator:
 
     # -- device data ------------------------------------------------------
 
+    def _device_images(self) -> jnp.ndarray:
+        """The device-resident planar stack, re-uploading if dropped."""
+        if self.images is None:
+            planar = blend_xla.to_planar(jnp.asarray(self.lf.images))
+            if self.mesh is not None:
+                from .parallel import mesh as pmesh
+
+                self.images = pmesh.replicate(self.mesh, planar)
+            else:
+                self.images = jax.device_put(planar)
+        return self.images
+
     def _padded(self, px: int, py: int) -> jnp.ndarray:
         """Shift-bound-padded stack for the Pallas kernel, built per bucket."""
         key = (px, py)
         if key not in self._padded_cache:
             padded = jax.jit(
                 blend_pallas.pad_images, static_argnums=(1, 2)
-            )(self.images, px, py)
+            )(self._device_images(), px, py)
             while len(self._padded_cache) >= self._padded_cache_max:
                 # Drop the oldest entry; the buffer frees on GC (an explicit
                 # delete() could invalidate aliases, e.g. a mesh replicate
@@ -165,6 +173,107 @@ class Interpolator:
         else:  # refresh LRU order (dicts preserve insertion order)
             self._padded_cache[key] = self._padded_cache.pop(key)
         return self._padded_cache[key]
+
+    def _fixed_view_batched_step(
+        self,
+        plan: capacity.FixedRenderPlan,
+        weights_np: np.ndarray,  # [V, G] float32
+        fo_for,  # i -> focused offsets [G, 2] int32 (device)
+        *,
+        px: int,
+        py: int,
+        use_pallas: bool,
+        method_key: str,
+        progress: bool = False,
+    ):
+        """Build a step(i) rendering the views in HBM-sized batches.
+
+        For outputs larger than device memory (e.g. 64 views at 8K =
+        5.9 GiB): the stack is shifted once, then each weight-row batch
+        blends while the previous batch drains to the host, so at most two
+        batch outputs are device-resident. Under `plan.drop_images` the raw
+        stack is additionally freed for the duration (re-uploaded from the
+        host copy on the next non-Pallas use). Returns host [V, H, W, 3]
+        uint8 -- callers must not re-fetch. (New capability: the reference
+        tool aborts with a CUDA allocation error on >VRAM outputs,
+        src/interpolator.cu:95-137.)
+        """
+        from .ops import shift_pallas
+
+        lf = self.lf
+        h, w = lf.height, lf.width
+        v, g = weights_np.shape
+        vb = plan.view_batch
+        nb = -(-v // vb)
+        # One compiled shape for every batch: zero-pad the trailing batch's
+        # weight rows (a zero row blends to zeros; trimmed host-side).
+        wm_pad = np.zeros((nb * vb, g), np.float32)
+        wm_pad[:v] = weights_np
+        w_batches = [
+            jnp.asarray(wm_pad[b * vb : (b + 1) * vb]) for b in range(nb)
+        ]
+
+        padded = None
+        if plan.drop_images:
+            # The raw and padded stacks cannot both stay resident under
+            # this budget: build the padded stack uncached, then free the
+            # raw one before the shift intermediate materializes.
+            padded = jax.block_until_ready(
+                jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))(
+                    self._device_images(), px, py
+                )
+            )
+            self._padded_cache.clear()
+            self.images = None
+        elif use_pallas:
+            padded = self._padded(px, py)
+        use_tiled = use_pallas and shift_pallas.supports_padded(h, w)
+        if progress:
+            print(
+                f"Rendering {v} views in {nb} batches of {vb} "
+                f"(output exceeds device memory)"
+            )
+
+        def step(i: int = 0) -> np.ndarray:
+            fo_i = fo_for(i)
+            out_np = np.empty((v, h, w, 3), np.uint8)
+            x4 = (
+                shift_pallas.shift_padded_4d(
+                    padded, fo_i, h=h, w=w, px=px, py=py
+                )
+                if use_tiled
+                else None
+            )
+            pending = None  # (batch index, device views [vb, C, h, w])
+
+            def drain(item):
+                b, o = item
+                arr = np.asarray(o)  # device->host fetch of one batch
+                lo = b * vb
+                n = min(v - lo, vb)
+                out_np[lo : lo + n] = arr[:n].transpose(0, 2, 3, 1)
+
+            for b in range(nb):
+                if use_tiled:
+                    o = blend_pallas.blend_tiled_cropped(
+                        x4, w_batches[b], h=h, w=w
+                    )
+                elif use_pallas:
+                    o = blend_pallas.render_fixed_padded(
+                        padded, w_batches[b], fo_i, h=h, w=w, px=px, py=py
+                    )
+                else:
+                    o = pipeline.render_fixed_focus(
+                        self._device_images(), w_batches[b], fo_i,
+                        method=method_key,
+                    )
+                if pending is not None:
+                    drain(pending)
+                pending = (b, o)
+            drain(pending)
+            return out_np
+
+        return step
 
     # -- rendering --------------------------------------------------------
 
@@ -217,7 +326,21 @@ class Interpolator:
             weights = jnp.asarray(wm)
         offsets_j = jnp.asarray(offsets)
 
+        host_views = False  # set when a batched step returns host arrays
         if cfg.uses_focus_map:
+            if self.mesh is None:
+                # Host-side lower-bound guard: an on-device OOM discovered
+                # at alloc time can wedge a tunneled backend for hours, so
+                # reject arithmetically-certain oversubscription up front
+                # (the all-focus path has no view-batched fallback; the
+                # mesh path shards the stack by rows instead).
+                h8, w128 = -(-lf.height // 8) * 8, -(-lf.width // 128) * 128
+                capacity.check_capacity(
+                    lf.grid_size * 3 * lf.height * lf.width
+                    + cfg.view_count * 3 * h8 * w128,
+                    f"All-focus render of {cfg.view_count} views at "
+                    f"{lf.width}x{lf.height} from {lf.grid_size} images",
+                )
             radius = geometry.block_radius(
                 lf.width, lf.height, cfg.pixel_size_factor
             )
@@ -260,7 +383,7 @@ class Interpolator:
                     from .parallel import mesh as pmesh
 
                     return pmesh.render_all_focus_sharded(
-                        self.mesh, self.images, weights, offsets_j,
+                        self.mesh, self._device_images(), weights, offsets_j,
                         jnp.float32(cfg.focus + 1e-7 * i),
                         jnp.float32(cfg.focus_range),
                         jnp.asarray(ids),
@@ -268,7 +391,7 @@ class Interpolator:
                         **kwargs,
                     )
                 return pipeline.render_all_focus(
-                    self.images,
+                    self._device_images(),
                     weights,
                     offsets_j,
                     jnp.float32(cfg.focus + 1e-7 * i),
@@ -318,7 +441,7 @@ class Interpolator:
 
                     def step(i: int = 0):
                         return pmesh.render_fixed_sharded(
-                            self.mesh, self.images, weights,
+                            self.mesh, self._device_images(), weights,
                             fo if i == 0 else fo_for(i),
                         )
 
@@ -326,21 +449,43 @@ class Interpolator:
                 px, py = blend_pallas.shift_bound(
                     offsets, f_interval, lf.height, lf.width
                 )
-                padded = self._padded(px, py)
-
-                def step(i: int = 0):
-                    return blend_pallas.render_fixed_padded(
-                        padded, weights, fo if i == 0 else fo_for(i),
-                        h=lf.height, w=lf.width, px=px, py=py,
+                plan = capacity.plan_fixed_render(
+                    lf.grid_size, 3, lf.height, lf.width, cfg.view_count,
+                    px, py,
+                )
+                if plan.batched:
+                    step = self._fixed_view_batched_step(
+                        plan, wm, fo_for, px=px, py=py, use_pallas=True,
+                        method_key=method_key, progress=progress,
                     )
+                    host_views = True
+                else:
+                    padded = self._padded(px, py)
+
+                    def step(i: int = 0):
+                        return blend_pallas.render_fixed_padded(
+                            padded, weights, fo if i == 0 else fo_for(i),
+                            h=lf.height, w=lf.width, px=px, py=py,
+                        )
 
             else:
-
-                def step(i: int = 0):
-                    return pipeline.render_fixed_focus(
-                        self.images, weights, fo if i == 0 else fo_for(i),
-                        method=method_key,
+                plan = capacity.plan_fixed_render(
+                    lf.grid_size, 3, lf.height, lf.width, cfg.view_count,
+                    0, 0, use_padded=False,
+                )
+                if plan.batched:
+                    step = self._fixed_view_batched_step(
+                        plan, wm, fo_for, px=0, py=0, use_pallas=False,
+                        method_key=method_key, progress=progress,
                     )
+                    host_views = True
+                else:
+
+                    def step(i: int = 0):
+                        return pipeline.render_fixed_focus(
+                            self._device_images(), weights,
+                            fo if i == 0 else fo_for(i), method=method_key,
+                        )
 
             views = step()
             maps = None
@@ -364,7 +509,9 @@ class Interpolator:
                     f"Average time of {benchmark_runs} runs: {avg:.3f} ms"
                 )
 
-        views_np = _fetch(blend_xla.from_planar(views))
+        views_np = (
+            views if host_views else _fetch(blend_xla.from_planar(views))
+        )
         maps_np = _fetch(maps) if maps is not None else None
         return RenderResult(
             views=views_np, maps=maps_np, run_times_s=run_times, config=cfg
@@ -387,9 +534,10 @@ class Interpolator:
         extra trajectories nearly free: every source pixel is read once for
         all of them. The per-image shifts depend only on the trajectory
         CENTER, so trajectories are grouped by center and each group renders
-        in one fused pass; results come back in the caller's order. (No
-        reference equivalent -- the CUDA tool renders one trajectory per
-        process.)
+        in one fused pass; results come back in the caller's order. When a
+        group's stacked output outgrows device memory, the pass falls back
+        to view batches (see _fixed_view_batched_step). (No reference
+        equivalent -- the CUDA tool renders one trajectory per process.)
         """
         cfg = dataclasses.replace(
             self.config,
@@ -426,7 +574,8 @@ class Interpolator:
                 ).astype(np.float32)
                 for i in idxs
             ]
-            big = jnp.asarray(np.concatenate(wms, axis=0))  # [len(idxs)*V, G]
+            big_np = np.concatenate(wms, axis=0)  # [len(idxs)*V, G]
+            big = jnp.asarray(big_np)
             fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
 
             if self.mesh is not None:
@@ -456,21 +605,46 @@ class Interpolator:
                     )
                 else:
                     views = pmesh.render_fixed_sharded(
-                        self.mesh, self.images, big_sharded, fo,
+                        self.mesh, self._device_images(), big_sharded, fo,
                     )
             elif method_key == "TEN" and blend_pallas.is_available():
                 px, py = blend_pallas.shift_bound(
                     offsets, cfg.focus, lf.height, lf.width
                 )
-                views = blend_pallas.render_fixed_padded(
-                    self._padded(px, py), big, fo,
-                    h=lf.height, w=lf.width, px=px, py=py,
+                plan = capacity.plan_fixed_render(
+                    lf.grid_size, 3, lf.height, lf.width, big_np.shape[0],
+                    px, py,
                 )
+                if plan.batched:
+                    views = self._fixed_view_batched_step(
+                        plan, big_np, lambda i: fo, px=px, py=py,
+                        use_pallas=True, method_key=method_key,
+                        progress=progress,
+                    )()
+                else:
+                    views = blend_pallas.render_fixed_padded(
+                        self._padded(px, py), big, fo,
+                        h=lf.height, w=lf.width, px=px, py=py,
+                    )
             else:
-                views = pipeline.render_fixed_focus(
-                    self.images, big, fo, method=method_key
+                plan = capacity.plan_fixed_render(
+                    lf.grid_size, 3, lf.height, lf.width, big_np.shape[0],
+                    0, 0, use_padded=False,
                 )
-            views_np = _fetch(blend_xla.from_planar(views))
+                if plan.batched:
+                    views = self._fixed_view_batched_step(
+                        plan, big_np, lambda i: fo, px=0, py=0,
+                        use_pallas=False, method_key=method_key,
+                        progress=progress,
+                    )()
+                else:
+                    views = pipeline.render_fixed_focus(
+                        self._device_images(), big, fo, method=method_key
+                    )
+            views_np = (
+                views if isinstance(views, np.ndarray)
+                else _fetch(blend_xla.from_planar(views))
+            )
             for j, i in enumerate(idxs):
                 results[i] = RenderResult(
                     views=views_np[j * v : (j + 1) * v],

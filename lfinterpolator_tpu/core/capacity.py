@@ -1,0 +1,171 @@
+"""Host-side HBM capacity planning for single-chip renders.
+
+The reference CUDA tool simply aborts with cudaErrorMemoryAllocation when a
+light field outgrows device memory (no planning analogue -- this module is a
+new capability). On TPU the stakes are higher: letting XLA discover the OOM
+at compile/alloc time can wedge a tunneled backend for hours, so every
+oversized request must be caught by host-side arithmetic BEFORE any device
+allocation.
+
+`plan_fixed_render` sizes the fixed-focus pipeline's resident buffers
+(raw planar stack, shift-bound padded stack, shifted intermediate, blended
+output) against the device budget and returns one of three shapes:
+
+  * everything fits            -> no batching (the common case; zero change)
+  * output too big             -> render the views in batches, fetching each
+                                  batch to the host while the next renders
+  * raw + padded stacks too big -> additionally free the raw device stack for
+                                  the duration of the render (it re-uploads
+                                  from the host copy on demand)
+
+or raises with the arithmetic when even a single-view batch cannot fit, with
+a pointer at mesh sharding (parallel/mesh.py splits the stack by rows, so a
+multi-chip mesh renders outputs no single chip can hold).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+#: Per-chip HBM on TPU v5e. Used when the backend exposes no byte limit.
+DEFAULT_TPU_HBM_BYTES = int(15.75 * 2**30)
+
+#: Effectively-unbounded budget reported for CPU/interpret runs, where host
+#: RAM (not HBM) backs the buffers and batching would only slow tests down.
+UNBOUNDED = 1 << 62
+
+
+def device_hbm_bytes() -> int:
+    """Device memory budget in bytes, host-side.
+
+    `LFI_HBM_BYTES` overrides (tests use it to force batching on tiny
+    inputs); otherwise the TPU backend's reported `bytes_limit`, falling
+    back to the v5e default; non-TPU backends are treated as unbounded.
+    """
+    env = os.environ.get("LFI_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        import jax
+
+        dev = jax.local_devices()[0]
+        # Host-backed platforms have no HBM to protect. Everything else
+        # (including the tunneled "axon" TPU platform) is treated as a TPU.
+        if dev.platform == "cpu":
+            return UNBOUNDED
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:  # backend not initialized / stats unsupported
+        pass
+    return DEFAULT_TPU_HBM_BYTES
+
+
+def _headroom(budget: int) -> int:
+    """Slack left for XLA scratch, fragmentation, and small constants."""
+    return min(256 * 2**20, budget // 16)
+
+
+def _align(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedRenderPlan:
+    """How to fit one fixed-focus render into device memory."""
+
+    view_batch: int | None  # weight rows per fused pass; None = all at once
+    drop_images: bool  # free the raw device stack during the render
+    budget: int  # effective byte budget the plan was sized against
+    bytes_unbatched: int  # resident bytes of the plain single-pass render
+
+    @property
+    def batched(self) -> bool:
+        return self.view_batch is not None
+
+
+def plan_fixed_render(
+    g: int,
+    c: int,
+    h: int,
+    w: int,
+    v: int,
+    px: int,
+    py: int,
+    *,
+    use_padded: bool = True,
+    budget: int | None = None,
+) -> FixedRenderPlan:
+    """Size the fixed-focus render and pick a fitting view batch.
+
+    Resident buffers (all uint8), in pipeline order:
+
+      in     [G, C, H, W]                      raw planar stack
+      padded [G, C, H+2py+48, W+2px+256]       clamp-encoded pad (Pallas path)
+      shift  [G, C, H8, W128]                  shifted intermediate
+      out    [Vb, C, H8, W128] (+ crop copy)   blended batch
+
+    Batched renders keep TWO batch outputs in flight (batch t+1 renders
+    while batch t drains to the host), hence the factor 2. With
+    `use_padded=False` (XLA fallback path) there is no padded stack and the
+    raw stack can never be dropped (every batch re-reads it).
+    """
+    b = (budget if budget is not None else device_hbm_bytes())
+    b_eff = b - _headroom(b)
+    h8, w128 = _align(h, 8), _align(w, 128)
+    in_b = g * c * h * w
+    padded_b = g * c * (h + 2 * py + 48) * (w + 2 * px + 256) if use_padded else 0
+    shift_b = g * c * h8 * w128
+    # Per-view output bytes; unaligned geometries pay an extra cropped copy.
+    ov = c * h8 * w128 + (c * h * w if (h8, w128) != (h, w) else 0)
+
+    total = in_b + padded_b + shift_b + v * ov
+    if total <= b_eff:
+        return FixedRenderPlan(None, False, b_eff, total)
+
+    def _vb(avail: int) -> int:
+        return min(v, avail // (2 * ov))
+
+    vb = _vb(b_eff - in_b - padded_b - shift_b)
+    if vb >= 1:
+        return FixedRenderPlan(vb, False, b_eff, total)
+
+    # Dropping the raw stack only helps the padded path, and the build
+    # itself must fit (raw + padded coexist while the pad op runs).
+    if use_padded and in_b + padded_b <= b_eff:
+        vb = _vb(b_eff - padded_b - shift_b)
+        if vb >= 1:
+            return FixedRenderPlan(vb, True, b_eff, total)
+
+    gib = 2.0**30
+    raise ValueError(
+        f"Light field too large for one device: {g} images of {w}x{h} need "
+        f"{in_b / gib:.2f} GiB raw + {padded_b / gib:.2f} GiB padded + "
+        f"{shift_b / gib:.2f} GiB shifted + {ov / gib:.2f} GiB per output "
+        f"view against a {b_eff / gib:.2f} GiB budget, and even a one-view "
+        f"batch does not fit. Render with a multi-chip mesh "
+        f"(Interpolator(mesh=...) shards the stack by rows) or reduce the "
+        f"resolution/grid."
+    )
+
+
+def check_capacity(resident_bytes: int, what: str, *, budget: int | None = None) -> None:
+    """Raise before any device allocation when `resident_bytes` cannot fit.
+
+    A deliberately LOWER-bound guard for pipelines without a batched
+    fallback (all-focus, streaming): it only trips on arithmetic certainty,
+    never on an estimate of transient XLA scratch.
+    """
+    b = (budget if budget is not None else device_hbm_bytes())
+    b_eff = b - _headroom(b)
+    if resident_bytes > b_eff:
+        gib = 2.0**30
+        raise ValueError(
+            f"{what} needs at least {resident_bytes / gib:.2f} GiB of device "
+            f"memory against a {b_eff / gib:.2f} GiB budget. Render with a "
+            f"multi-chip mesh (Interpolator(mesh=...)), use the fixed-focus "
+            f"path (which batches views automatically), or reduce the "
+            f"resolution/grid."
+        )

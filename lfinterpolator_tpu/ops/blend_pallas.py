@@ -347,6 +347,26 @@ def render_fixed_padded(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def blend_tiled_cropped(
+    x4: jnp.ndarray,  # [G, C, H8, W128] uint8 (a shift kernel's output)
+    weights: jnp.ndarray,  # [Vb, G] float32
+    *,
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """blend_tiled + on-device crop to [Vb, C, h, w].
+
+    Used by the view-batched render path (api.py): the shifted stack is
+    built once, then each weight-row batch blends and drains to the host
+    while the next renders, so outputs larger than HBM never materialize.
+    """
+    out = blend_tiled(x4, weights)
+    if out.shape[2:] != (h, w):
+        out = out[:, :, :h, :w]
+    return out
+
+
 def render_fixed(
     images: jnp.ndarray,  # [G, C, H, W] uint8 (unpadded)
     weights: jnp.ndarray,  # [V, G] float32

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import geometry
+from .core import capacity, geometry
 from .core.config import RenderConfig
 from .io import writer
 from .ops import blend_pallas, blend_xla, shift_pallas
@@ -151,6 +151,22 @@ class StreamingRenderer:
                 self._pad = jax.jit(
                     blend_pallas.pad_images, static_argnums=(1, 2)
                 )
+        # Host-side lower-bound capacity guard: streaming keeps `prefetch`
+        # uploaded frames plus a shifted intermediate and a full view set
+        # resident, and has no view-batched fallback (use Interpolator for
+        # one-shot >HBM outputs, or a mesh). An on-device OOM discovered at
+        # alloc time can wedge a tunneled backend for hours, so reject
+        # arithmetically-certain oversubscription before any device work.
+        g = cols * rows
+        h8, w128 = -(-height // 8) * 8, -(-width // 128) * 128
+        in_b = g * 3 * height * width
+        out_b = self.cfg.view_count * 3 * h8 * w128
+        shift_b = g * 3 * h8 * w128 if self._use_pallas else 0
+        capacity.check_capacity(
+            (self.prefetch + 1) * in_b + shift_b + out_b,
+            f"Streaming {self.cfg.view_count} views per {width}x{height} "
+            f"frame from {g} images (prefetch={self.prefetch})",
+        )
 
     def _render(self, images_planar: jnp.ndarray):
         """One frame -> views [V, C, H, W] u8, or (views, maps [2, H, W])

@@ -1,0 +1,198 @@
+"""Capacity planning + view-batched rendering (core/capacity.py, api.py).
+
+The reference CUDA tool aborts on >VRAM light fields; the TPU build instead
+plans host-side (core/capacity.py) and falls back to view-batched rendering
+(outputs stream to the host batch by batch). These tests force tiny budgets
+via LFI_HBM_BYTES to exercise every plan mode on the small fixture.
+"""
+
+import numpy as np
+import pytest
+
+from lfinterpolator_tpu.api import Interpolator
+from lfinterpolator_tpu.core import capacity
+from lfinterpolator_tpu.core.config import RenderConfig
+from lfinterpolator_tpu.io.loader import LightField
+from lfinterpolator_tpu.streaming import StreamingRenderer
+
+# small_lf geometry (see conftest) under the default focus bucket: the
+# shift bound rounds up to one 128 bucket, capped at the image size.
+G, C, H, W, PX, PY = 16, 3, 48, 64, 64, 48
+
+
+def _scan_plans(v=8, use_padded=True, budget_hi=None):
+    """Plans at descending budgets until even one view no longer fits."""
+    full = capacity.plan_fixed_render(
+        G, C, H, W, v, PX, PY, use_padded=use_padded, budget=1 << 40
+    ).bytes_unbatched
+    hi = budget_hi or (2 * full)
+    out = []
+    for b in range(hi, 0, -max(1, full // 400)):
+        try:
+            out.append(
+                (b, capacity.plan_fixed_render(
+                    G, C, H, W, v, PX, PY, use_padded=use_padded, budget=b
+                ))
+            )
+        except ValueError:
+            break
+    else:
+        pytest.fail("scan never reached the infeasible regime")
+    return out
+
+
+def _first(plans, pred):
+    for b, p in plans:
+        if pred(p):
+            return b, p
+    pytest.fail("no plan matched")
+
+
+def test_plan_modes_are_ordered_by_budget():
+    """Descending budget moves monotonically through
+    unbatched -> batched(keep) -> batched(drop) -> infeasible,
+    with non-increasing view batches."""
+    plans = _scan_plans()
+    modes = [
+        0 if not p.batched else (1 if not p.drop_images else 2)
+        for _, p in plans
+    ]
+    assert modes == sorted(modes)
+    assert set(modes) == {0, 1, 2}, "every mode must be reachable"
+    # Within each mode the batch shrinks with the budget (it may jump UP at
+    # the keep->drop transition: dropping the raw stack frees room).
+    for mode in (1, 2):
+        vbs = [
+            p.view_batch
+            for _, p in plans
+            if p.batched and p.drop_images == (mode == 2)
+        ]
+        assert all(v >= 1 for v in vbs)
+        assert vbs == sorted(vbs, reverse=True)
+
+
+def test_plan_xla_path_never_drops_images():
+    """With use_padded=False every batch re-reads the raw stack, so the
+    plan may batch but must never drop it."""
+    plans = _scan_plans(use_padded=False)
+    assert any(p.batched for _, p in plans)
+    assert not any(p.drop_images for _, p in plans)
+
+
+def test_device_hbm_bytes_env_and_cpu(monkeypatch):
+    monkeypatch.setenv("LFI_HBM_BYTES", "12345678")
+    assert capacity.device_hbm_bytes() == 12345678
+    monkeypatch.delenv("LFI_HBM_BYTES")
+    assert capacity.device_hbm_bytes() == capacity.UNBOUNDED  # CPU backend
+
+
+def test_check_capacity(monkeypatch):
+    capacity.check_capacity(100, "tiny", budget=1 << 30)
+    with pytest.raises(ValueError, match="huge thing needs at least"):
+        capacity.check_capacity(1 << 40, "huge thing", budget=1 << 30)
+
+
+@pytest.fixture
+def lf(small_lf):
+    images, (cols, rows) = small_lf
+    return LightField(images=images, cols=cols, rows=rows)
+
+
+@pytest.mark.parametrize("method", ["TEN", "STD"])
+def test_view_batched_interpolate_matches_unbatched(lf, monkeypatch, method):
+    """A budget that forces view batches must not change a single byte
+    (per-view blends are independent of the batch split)."""
+    if method == "TEN":
+        monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cfg = RenderConfig(method=method, view_count=8)
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,3,3", focus=0.05, progress=False
+    )
+
+    b, plan = _first(
+        _scan_plans(use_padded=(method == "TEN")),
+        lambda p: p.batched and not p.drop_images and p.view_batch <= 3,
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,3,3", focus=0.05, progress=False, benchmark_runs=1
+    )
+    assert 1 <= plan.view_batch <= 3  # non-divisor batches hit the zero-pad tail
+    np.testing.assert_array_equal(out.views, ref.views)
+    assert len(out.run_times_s) == 1  # benchmark loop works on host outputs
+
+
+def test_view_batched_interpolate_batch(lf, monkeypatch):
+    """interpolate_batch's fused multi-trajectory pass also falls back to
+    view batches when the stacked weight matrix outgrows the budget."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cfg = RenderConfig(method="TEN", view_count=8)
+    trajs = ["0,0,3,3", "1,1,2,2", "0,0,3,3"]  # one center -> one fused pass
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate_batch(
+        trajs, focus=0.05, progress=False
+    )
+    b, _ = _first(
+        _scan_plans(v=24), lambda p: p.batched and not p.drop_images
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate_batch(
+        trajs, focus=0.05, progress=False
+    )
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(o.views, r.views)
+
+
+def test_view_batched_drop_images_and_reupload(lf, monkeypatch):
+    """The tightest plan frees the raw device stack during the render;
+    later non-Pallas use re-uploads it transparently."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cfg = RenderConfig(method="TEN", view_count=8)
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,3,3", focus=0.05, progress=False
+    )
+    ref_std = Interpolator(
+        lf, config=RenderConfig(method="STD", view_count=8), progress=False
+    ).interpolate("0,0,3,3", focus=0.05, progress=False)
+
+    b, plan = _first(_scan_plans(), lambda p: p.drop_images)
+    interp = Interpolator(lf, config=cfg, progress=False)
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = interp.interpolate("0,0,3,3", focus=0.05, progress=False)
+    np.testing.assert_array_equal(out.views, ref.views)
+    assert interp.images is None, "raw stack must be dropped under pressure"
+
+    monkeypatch.delenv("LFI_HBM_BYTES")
+    out_std = interp.interpolate(
+        "0,0,3,3", focus=0.05, method="STD", progress=False
+    )
+    assert interp.images is not None, "raw stack must re-upload on demand"
+    np.testing.assert_array_equal(out_std.views, ref_std.views)
+
+
+def test_infeasible_render_raises_before_device_work(lf, monkeypatch):
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    interp = Interpolator(
+        lf, config=RenderConfig(method="TEN", view_count=8), progress=False
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", "100000")
+    with pytest.raises(ValueError, match="too large for one device"):
+        interp.interpolate("0,0,3,3", focus=0.05, progress=False)
+
+
+def test_allfocus_capacity_guard(lf, monkeypatch):
+    interp = Interpolator(
+        lf, config=RenderConfig(view_count=8), progress=False
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", "300000")
+    with pytest.raises(ValueError, match="All-focus render"):
+        interp.interpolate(
+            "0,0,3,3", focus=0.1, focus_range=0.2, progress=False
+        )
+
+
+def test_streaming_capacity_guard(monkeypatch):
+    monkeypatch.setenv("LFI_HBM_BYTES", "500000")
+    with pytest.raises(ValueError, match="Streaming"):
+        StreamingRenderer(
+            4, 4, W, H, "0,0,3,3", config=RenderConfig(view_count=8)
+        )
