@@ -20,10 +20,11 @@ from lfinterpolator_tpu.streaming import StreamingRenderer
 G, C, H, W, PX, PY = 16, 3, 48, 64, 64, 48
 
 
-def _scan_plans(v=8, use_padded=True, budget_hi=None):
+def _scan_plans(v=8, use_padded=True, budget_hi=None, dims=None):
     """Plans at descending budgets until even one view no longer fits."""
+    g, c, h, w, px, py = dims or (G, C, H, W, PX, PY)
     full = capacity.plan_fixed_render(
-        G, C, H, W, v, PX, PY, use_padded=use_padded, budget=1 << 40
+        g, c, h, w, v, px, py, use_padded=use_padded, budget=1 << 40
     ).bytes_unbatched
     hi = budget_hi or (2 * full)
     out = []
@@ -31,7 +32,7 @@ def _scan_plans(v=8, use_padded=True, budget_hi=None):
         try:
             out.append(
                 (b, capacity.plan_fixed_render(
-                    G, C, H, W, v, PX, PY, use_padded=use_padded, budget=b
+                    g, c, h, w, v, px, py, use_padded=use_padded, budget=b
                 ))
             )
         except ValueError:
@@ -188,6 +189,32 @@ def test_allfocus_capacity_guard(lf, monkeypatch):
         interp.interpolate(
             "0,0,3,3", focus=0.1, focus_range=0.2, progress=False
         )
+
+
+@pytest.mark.parametrize(
+    "h,w,v", [(45, 130, 5), (40, 160, 3), (56, 64, 1)]
+)
+def test_view_batched_fuzz_geometries(rng, monkeypatch, h, w, v):
+    """Batched == unbatched across unaligned geometries, non-divisor
+    batch tails, and a single-view render."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cols = rows = 3
+    images = rng.integers(0, 256, size=(cols * rows, h, w, 4), dtype=np.uint8)
+    lf = LightField(images=images, cols=cols, rows=rows)
+    cfg = RenderConfig(method="TEN", view_count=v)
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.07, progress=False
+    )
+    dims = (cols * rows, 3, h, w, min(128, w), min(128, h))
+    b, plan = _first(
+        _scan_plans(v=v, dims=dims),
+        lambda p: p.batched and p.view_batch < max(v, 2),
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.07, progress=False
+    )
+    np.testing.assert_array_equal(out.views, ref.views)
 
 
 def test_streaming_capacity_guard(monkeypatch):
