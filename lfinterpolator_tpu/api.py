@@ -58,6 +58,32 @@ def _tiny_sync(out) -> None:
     _ = np.asarray(corner)
 
 
+def _drain_view_batches(
+    nb: int, vb: int, v: int, h: int, w: int, render_batch
+) -> np.ndarray:
+    """Render `nb` view batches, draining each to the host while the next
+    renders (JAX dispatch is async), so at most two batch outputs are ever
+    device-resident. `render_batch(b)` -> device [vb, C, h, w] uint8; the
+    trailing batch's zero-padded rows are trimmed. Returns [v, h, w, 3]."""
+    out_np = np.empty((v, h, w, 3), np.uint8)
+    pending = None  # (batch index, device views [vb, C, h, w])
+
+    def drain(item):
+        b, o = item
+        arr = np.asarray(o)  # device->host fetch of one batch
+        lo = b * vb
+        n = min(v - lo, vb)
+        out_np[lo : lo + n] = arr[:n].transpose(0, 2, 3, 1)
+
+    for b in range(nb):
+        o = render_batch(b)
+        if pending is not None:
+            drain(pending)
+        pending = (b, o)
+    drain(pending)
+    return out_np
+
+
 @dataclasses.dataclass
 class RenderResult:
     """Output of one interpolate() call."""
@@ -236,7 +262,6 @@ class Interpolator:
 
         def step(i: int = 0) -> np.ndarray:
             fo_i = fo_for(i)
-            out_np = np.empty((v, h, w, 3), np.uint8)
             x4 = (
                 shift_pallas.shift_padded_4d(
                     padded, fo_i, h=h, w=w, px=px, py=py
@@ -244,34 +269,86 @@ class Interpolator:
                 if use_tiled
                 else None
             )
-            pending = None  # (batch index, device views [vb, C, h, w])
 
-            def drain(item):
-                b, o = item
-                arr = np.asarray(o)  # device->host fetch of one batch
-                lo = b * vb
-                n = min(v - lo, vb)
-                out_np[lo : lo + n] = arr[:n].transpose(0, 2, 3, 1)
-
-            for b in range(nb):
+            def render_batch(b: int):
                 if use_tiled:
-                    o = blend_pallas.blend_tiled_cropped(
+                    return blend_pallas.blend_tiled_cropped(
                         x4, w_batches[b], h=h, w=w
                     )
-                elif use_pallas:
-                    o = blend_pallas.render_fixed_padded(
+                if use_pallas:
+                    return blend_pallas.render_fixed_padded(
                         padded, w_batches[b], fo_i, h=h, w=w, px=px, py=py
                     )
-                else:
-                    o = pipeline.render_fixed_focus(
-                        self._device_images(), w_batches[b], fo_i,
-                        method=method_key,
-                    )
-                if pending is not None:
-                    drain(pending)
-                pending = (b, o)
-            drain(pending)
-            return out_np
+                return pipeline.render_fixed_focus(
+                    self._device_images(), w_batches[b], fo_i,
+                    method=method_key,
+                )
+
+            return _drain_view_batches(nb, vb, v, h, w, render_batch)
+
+        return step
+
+    def _allfocus_view_batched_step(
+        self,
+        plan: capacity.FixedRenderPlan,
+        weights_np: np.ndarray,  # [V, G] float32
+        offsets_j: jnp.ndarray,  # [G, 2] float32
+        ids: np.ndarray,  # [K] int32 focus-view selection
+        cfg: RenderConfig,
+        *,
+        radius: tuple[int, int],
+        filter_radius: tuple[int, int],
+        pad,
+        spread,
+        spans,
+        method_key: str,
+        progress: bool = False,
+    ):
+        """Build a step(i) -> (host views [V, H, W, 3], device maps [2, H, W])
+        rendering the all-focus views in HBM-sized batches.
+
+        The focus maps are view-independent, so they are estimated once per
+        run; only the per-pixel blend (reference src/kernels.cu:326/:430)
+        splits into weight-row batches, each draining to the host while the
+        next renders (mirrors _fixed_view_batched_step). The raw stack stays
+        resident: every batch's blend re-reads it.
+        """
+        lf = self.lf
+        h, w = lf.height, lf.width
+        v, g = weights_np.shape
+        vb = plan.view_batch
+        nb = -(-v // vb)
+        wm_pad = np.zeros((nb * vb, g), np.float32)
+        wm_pad[:v] = weights_np
+        w_batches = [
+            jnp.asarray(wm_pad[b * vb : (b + 1) * vb]) for b in range(nb)
+        ]
+        ids_j = jnp.asarray(ids)
+        if progress:
+            print(
+                f"Rendering {v} views in {nb} batches of {vb} "
+                f"(output exceeds device memory)"
+            )
+
+        def step(i: int = 0):
+            # same benchmark-dedup epsilon as the unbatched step
+            f_i = jnp.float32(cfg.focus + 1e-7 * i)
+            fr = jnp.float32(cfg.focus_range)
+            maps = pipeline.compute_focus_maps(
+                self._device_images(), offsets_j, f_i, fr, ids_j,
+                radius=radius, filter_radius=filter_radius,
+                steps=cfg.focus_steps, pad=pad,
+                exact_taps=cfg.exact_focus_taps, spans=spans,
+            )
+
+            def render_batch(b: int):
+                return pipeline.blend_all_focus(
+                    self._device_images(), w_batches[b], offsets_j, maps,
+                    f_i, fr, method=method_key, steps=cfg.focus_steps,
+                    pad=pad, spread=spread,
+                )
+
+            return _drain_view_batches(nb, vb, v, h, w, render_batch), maps
 
         return step
 
@@ -328,19 +405,6 @@ class Interpolator:
 
         host_views = False  # set when a batched step returns host arrays
         if cfg.uses_focus_map:
-            if self.mesh is None:
-                # Host-side lower-bound guard: an on-device OOM discovered
-                # at alloc time can wedge a tunneled backend for hours, so
-                # reject arithmetically-certain oversubscription up front
-                # (the all-focus path has no view-batched fallback; the
-                # mesh path shards the stack by rows instead).
-                h8, w128 = -(-lf.height // 8) * 8, -(-lf.width // 128) * 128
-                capacity.check_capacity(
-                    lf.grid_size * 3 * lf.height * lf.width
-                    + cfg.view_count * 3 * h8 * w128,
-                    f"All-focus render of {cfg.view_count} views at "
-                    f"{lf.width}x{lf.height} from {lf.grid_size} images",
-                )
             radius = geometry.block_radius(
                 lf.width, lf.height, cfg.pixel_size_factor
             )
@@ -367,40 +431,59 @@ class Interpolator:
             if progress:
                 print("Estimating focus map...")
 
-            def step(i: int = 0):
-                # The i-dependent epsilon keeps repeated benchmark runs from
-                # being deduplicated by execution-memoizing environments; it
-                # is far below the focus quantization step.
-                kwargs = dict(
-                    method=method_key,
-                    radius=radius,
-                    filter_radius=filter_radius,
-                    steps=cfg.focus_steps,
-                    pad=pad,
-                    spans=spans,
+            plan = (
+                capacity.plan_allfocus_render(
+                    lf.grid_size, len(ids), 3, lf.height, lf.width,
+                    cfg.view_count,
                 )
-                if self.mesh is not None:
-                    from .parallel import mesh as pmesh
+                if self.mesh is None
+                # Mesh renders shard the stack by rows instead of batching;
+                # a plan raising here would reject workloads the mesh fits.
+                else capacity.FixedRenderPlan(None, False, 0, 0)
+            )
+            if plan.batched:
+                step = self._allfocus_view_batched_step(
+                    plan, wm, offsets_j, ids, cfg,
+                    radius=radius, filter_radius=filter_radius, pad=pad,
+                    spread=spread, spans=spans, method_key=method_key,
+                    progress=progress,
+                )
+                host_views = True
+            else:
+                def step(i: int = 0):
+                    # The i-dependent epsilon keeps repeated benchmark runs from
+                    # being deduplicated by execution-memoizing environments; it
+                    # is far below the focus quantization step.
+                    kwargs = dict(
+                        method=method_key,
+                        radius=radius,
+                        filter_radius=filter_radius,
+                        steps=cfg.focus_steps,
+                        pad=pad,
+                        spans=spans,
+                    )
+                    if self.mesh is not None:
+                        from .parallel import mesh as pmesh
 
-                    return pmesh.render_all_focus_sharded(
-                        self.mesh, self._device_images(), weights, offsets_j,
+                        return pmesh.render_all_focus_sharded(
+                            self.mesh, self._device_images(), weights, offsets_j,
+                            jnp.float32(cfg.focus + 1e-7 * i),
+                            jnp.float32(cfg.focus_range),
+                            jnp.asarray(ids),
+                            exact_taps=cfg.exact_focus_taps, spread=spread,
+                            **kwargs,
+                        )
+                    return pipeline.render_all_focus(
+                        self._device_images(),
+                        weights,
+                        offsets_j,
                         jnp.float32(cfg.focus + 1e-7 * i),
                         jnp.float32(cfg.focus_range),
                         jnp.asarray(ids),
-                        exact_taps=cfg.exact_focus_taps, spread=spread,
+                        exact_taps=cfg.exact_focus_taps,
+                        spread=spread,
                         **kwargs,
                     )
-                return pipeline.render_all_focus(
-                    self._device_images(),
-                    weights,
-                    offsets_j,
-                    jnp.float32(cfg.focus + 1e-7 * i),
-                    jnp.float32(cfg.focus_range),
-                    jnp.asarray(ids),
-                    exact_taps=cfg.exact_focus_taps,
-                    spread=spread,
-                    **kwargs,
-                )
 
             views, maps = step()
             run = step

@@ -151,6 +151,57 @@ def plan_fixed_render(
     )
 
 
+def plan_allfocus_render(
+    g: int,
+    k: int,
+    c: int,
+    h: int,
+    w: int,
+    v: int,
+    *,
+    budget: int | None = None,
+) -> FixedRenderPlan:
+    """Size the all-focus render and pick a fitting view batch.
+
+    Two phases with different residents (all uint8 unless noted):
+
+      estimate: in [G, C, H, W] + selected views [K, C, H, W] + maps
+      blend:    in + maps + out [Vb, C, H8, W128] (+ crop copy), with two
+                batch outputs in flight when batching (the per-pixel blend
+                re-reads the raw stack every batch, so the raw stack can
+                never be dropped).
+
+    The estimate phase is view-independent; batching only splits the blend.
+    """
+    b = (budget if budget is not None else device_hbm_bytes())
+    b_eff = b - _headroom(b)
+    h8, w128 = _align(h, 8), _align(w, 128)
+    in_b = g * c * h * w
+    sel_b = k * c * h * w
+    maps_b = 2 * h * w
+    ov = c * h8 * w128 + (c * h * w if (h8, w128) != (h, w) else 0)
+
+    estimate_b = in_b + sel_b + maps_b
+    total = max(estimate_b, in_b + maps_b + v * ov)
+    if total <= b_eff:
+        return FixedRenderPlan(None, False, b_eff, total)
+    if estimate_b <= b_eff:
+        vb = min(v, (b_eff - in_b - maps_b) // (2 * ov))
+        if vb >= 1:
+            return FixedRenderPlan(vb, False, b_eff, total)
+
+    gib = 2.0**30
+    raise ValueError(
+        f"All-focus render too large for one device: {g} images of "
+        f"{w}x{h} need {in_b / gib:.2f} GiB raw + {sel_b / gib:.2f} GiB "
+        f"selected focus views + {ov / gib:.2f} GiB per output view "
+        f"against a {b_eff / gib:.2f} GiB budget, and even a one-view "
+        f"batch does not fit. Render with a multi-chip mesh "
+        f"(Interpolator(mesh=...) shards the stack by rows) or reduce the "
+        f"resolution/grid."
+    )
+
+
 def check_capacity(resident_bytes: int, what: str, *, budget: int | None = None) -> None:
     """Raise before any device allocation when `resident_bytes` cannot fit.
 
@@ -165,7 +216,7 @@ def check_capacity(resident_bytes: int, what: str, *, budget: int | None = None)
         raise ValueError(
             f"{what} needs at least {resident_bytes / gib:.2f} GiB of device "
             f"memory against a {b_eff / gib:.2f} GiB budget. Render with a "
-            f"multi-chip mesh (Interpolator(mesh=...)), use the fixed-focus "
-            f"path (which batches views automatically), or reduce the "
-            f"resolution/grid."
+            f"multi-chip mesh (Interpolator(mesh=...)), use "
+            f"Interpolator.interpolate (which batches views automatically), "
+            f"or reduce the resolution/grid."
         )

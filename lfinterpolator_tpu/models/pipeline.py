@@ -48,6 +48,99 @@ def render_fixed_focus(
 @partial(
     jax.jit,
     static_argnames=(
+        "radius", "filter_radius", "steps", "pad", "exact_taps", "spans",
+    ),
+)
+def compute_focus_maps(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    focus: jnp.ndarray,  # scalar f32
+    focus_range: jnp.ndarray,  # scalar f32
+    focus_ids: jnp.ndarray,  # [K] int32
+    *,
+    radius: tuple[int, int] = (2, 2),
+    filter_radius: tuple[int, int] = (0, 0),
+    steps: int = 32,
+    pad: tuple[int, int] | None = None,
+    exact_taps: bool = True,
+    spans: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """Estimate + filter -> maps [2, H, W] uint8 (raw, filtered).
+
+    The view-independent first half of render_all_focus, callable on its
+    own so view-batched renders (api.py) estimate once and blend per
+    weight-row batch.
+    """
+    selected = images[focus_ids]  # [K, C, H, W]
+    sel_offsets = offsets[focus_ids]
+    map0 = focus_ops.estimate_focus_map(
+        selected, sel_offsets, focus, focus_range, radius,
+        steps=steps, pad=pad, exact_taps=exact_taps, spans=spans,
+    )
+    map1 = focus_ops.filter_focus_map(map0, filter_radius)
+    return jnp.stack([map0, map1])
+
+
+@partial(jax.jit, static_argnames=("method", "steps", "pad", "spread"))
+def blend_all_focus(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    weights: jnp.ndarray,  # [V, G] float32
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    maps: jnp.ndarray,  # [2, H, W] uint8 (from compute_focus_maps)
+    focus: jnp.ndarray,  # scalar f32
+    focus_range: jnp.ndarray,  # scalar f32
+    *,
+    method: str = "STD",
+    steps: int = 32,
+    pad: tuple[int, int] | None = None,
+    spread: int | None = None,
+) -> jnp.ndarray:
+    """Per-pixel-focus blend -> views [V, C, H, W] uint8.
+
+    The view-dependent second half of render_all_focus; see its docstring
+    for the method dispatch and the reference's raw/filtered map asymmetry.
+    """
+    map0, map1 = maps[0], maps[1]
+    g, c, h, w = images.shape
+    from ..ops import allfocus_pallas
+
+    use_kernel = (
+        spread is not None
+        and blend_pallas.is_available()
+        and allfocus_pallas.supports(h, w, spread)
+    )
+    if method == "STD":
+        # The filtered map has arbitrary bytes; the 256-byte-level scan is
+        # exact for any map and skips absent bytes at runtime (the general
+        # gather fallback is ~5-25x slower on TPU). The fused kernel also
+        # handles 256 levels (blend_xla.byte_levels) and is bit-identical,
+        # but measured SLOWER here: filtered maps have ~100 distinct bytes
+        # per band, and the kernel's per-level VPU cost (~2x the XLA scan's
+        # fused slice+select) only pays off at the TEN path's <= `steps`
+        # levels (519 vs 156 ms at 8x8/1080p on a dense-byte map).
+        if pad is not None:
+            return blend_xla.render_allfocus_quantized(
+                images, weights, offsets, map1, focus, focus_range,
+                steps=steps, pad=pad, all_bytes=True,
+            )
+        return blend_xla.render_allfocus(
+            images, weights, offsets, map1, focus, focus_range
+        )
+    if use_kernel:
+        return allfocus_pallas.render_allfocus_quantized_fused(
+            images, weights, offsets, map0, focus, focus_range,
+            steps=steps, spread=spread,
+            px=pad[0] if pad is not None else max(w, 1),
+        )
+    return blend_xla.render_allfocus_quantized(
+        images, weights, offsets, map0, focus, focus_range,
+        steps=steps, pad=pad,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "method", "radius", "filter_radius", "steps", "pad", "exact_taps",
         "spread", "spans",
     ),
@@ -92,49 +185,13 @@ def render_all_focus(
 
     Returns (views [V, C, H, W] uint8, maps [2, H, W] uint8).
     """
-    selected = images[focus_ids]  # [K, C, H, W]
-    sel_offsets = offsets[focus_ids]
-    map0 = focus_ops.estimate_focus_map(
-        selected, sel_offsets, focus, focus_range, radius,
-        steps=steps, pad=pad, exact_taps=exact_taps, spans=spans,
+    maps = compute_focus_maps(
+        images, offsets, focus, focus_range, focus_ids,
+        radius=radius, filter_radius=filter_radius, steps=steps, pad=pad,
+        exact_taps=exact_taps, spans=spans,
     )
-    map1 = focus_ops.filter_focus_map(map0, filter_radius)
-    g, c, h, w = images.shape
-    from ..ops import allfocus_pallas
-
-    use_kernel = (
-        spread is not None
-        and blend_pallas.is_available()
-        and allfocus_pallas.supports(h, w, spread)
+    views = blend_all_focus(
+        images, weights, offsets, maps, focus, focus_range,
+        method=method, steps=steps, pad=pad, spread=spread,
     )
-    if method == "STD":
-        # The filtered map has arbitrary bytes; the 256-byte-level scan is
-        # exact for any map and skips absent bytes at runtime (the general
-        # gather fallback is ~5-25x slower on TPU). The fused kernel also
-        # handles 256 levels (blend_xla.byte_levels) and is bit-identical,
-        # but measured SLOWER here: filtered maps have ~100 distinct bytes
-        # per band, and the kernel's per-level VPU cost (~2x the XLA scan's
-        # fused slice+select) only pays off at the TEN path's <= `steps`
-        # levels (519 vs 156 ms at 8x8/1080p on a dense-byte map).
-        if pad is not None:
-            views = blend_xla.render_allfocus_quantized(
-                images, weights, offsets, map1, focus, focus_range,
-                steps=steps, pad=pad, all_bytes=True,
-            )
-        else:
-            views = blend_xla.render_allfocus(
-                images, weights, offsets, map1, focus, focus_range
-            )
-    else:
-        if use_kernel:
-            views = allfocus_pallas.render_allfocus_quantized_fused(
-                images, weights, offsets, map0, focus, focus_range,
-                steps=steps, spread=spread,
-                px=pad[0] if pad is not None else max(w, 1),
-            )
-        else:
-            views = blend_xla.render_allfocus_quantized(
-                images, weights, offsets, map0, focus, focus_range,
-                steps=steps, pad=pad,
-            )
-    return views, jnp.stack([map0, map1])
+    return views, maps

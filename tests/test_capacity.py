@@ -180,12 +180,56 @@ def test_infeasible_render_raises_before_device_work(lf, monkeypatch):
         interp.interpolate("0,0,3,3", focus=0.05, progress=False)
 
 
-def test_allfocus_capacity_guard(lf, monkeypatch):
-    interp = Interpolator(
-        lf, config=RenderConfig(view_count=8), progress=False
+def _scan_allfocus_plans(v=8, k=8):
+    full = capacity.plan_allfocus_render(
+        G, k, C, H, W, v, budget=1 << 40
+    ).bytes_unbatched
+    out = []
+    for b in range(2 * full, 0, -max(1, full // 400)):
+        try:
+            out.append(
+                (b, capacity.plan_allfocus_render(G, k, C, H, W, v, budget=b))
+            )
+        except ValueError:
+            break
+    else:
+        pytest.fail("scan never reached the infeasible regime")
+    return out
+
+
+@pytest.mark.parametrize("method", ["TEN", "STD"])
+def test_view_batched_allfocus_matches_unbatched(lf, monkeypatch, method):
+    """All-focus under a tight budget estimates maps once and batches the
+    per-pixel blend -- byte-identical views AND maps."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cfg = RenderConfig(
+        method=method, view_count=8, focus_map_views=8,
     )
-    monkeypatch.setenv("LFI_HBM_BYTES", "300000")
-    with pytest.raises(ValueError, match="All-focus render"):
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,3,3", focus=0.1, focus_range=0.2, progress=False
+    )
+    assert ref.maps is not None
+    b, plan = _first(
+        _scan_allfocus_plans(),
+        lambda p: p.batched and p.view_batch <= 3,
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,3,3", focus=0.1, focus_range=0.2, progress=False,
+        benchmark_runs=1,
+    )
+    np.testing.assert_array_equal(out.maps, ref.maps)
+    np.testing.assert_array_equal(out.views, ref.views)
+    assert len(out.run_times_s) == 1
+
+
+def test_allfocus_infeasible_raises(lf, monkeypatch):
+    interp = Interpolator(
+        lf, config=RenderConfig(view_count=8, focus_map_views=8),
+        progress=False,
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", "160000")
+    with pytest.raises(ValueError, match="All-focus render too large"):
         interp.interpolate(
             "0,0,3,3", focus=0.1, focus_range=0.2, progress=False
         )
