@@ -23,6 +23,7 @@ per-call sync adds ~30 ms of host round-trip -- both would fake the numbers.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -403,7 +404,49 @@ CONFIGS = {
 }
 
 
+def _wait_for_backend() -> None:
+    """Block until the (possibly tunneled) device backend answers a trivial
+    program, probing in SUBPROCESSES so a wedged tunnel's init-hang can be
+    timed out (a deliberate OOM or a heavy client's exit can wedge the
+    tunneled TPU for tens of minutes, alternating init-hangs with fast
+    UNAVAILABLE errors; an in-process retry cannot escape the hang case).
+
+    Bounded by LFI_BENCH_WAIT_S (default 1800 s). On deadline the real run
+    proceeds and surfaces the actual backend error. Probes are sequential
+    with the main run (never a concurrent second chip client) and touch one
+    tiny array, far below the heavy-use pattern that causes wedges.
+    """
+    deadline = time.monotonic() + float(os.environ.get("LFI_BENCH_WAIT_S", "1800"))
+    probe = (
+        "import jax; import numpy as np; "
+        "print(float(np.asarray(jax.numpy.ones((8, 128)).sum())))"
+    )
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=240,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"backend up after {attempt} probes", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(
+                f"backend still unresponsive after {attempt} probes; "
+                "proceeding (the run will surface the error)",
+                file=sys.stderr,
+            )
+            return
+        time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_backend()
     name = os.environ.get("LFI_BENCH_CONFIG", "headline")
     if "--config" in sys.argv:
         i = sys.argv.index("--config")

@@ -116,6 +116,17 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         quilt_tile = (th, tw)
     try:
+        # Validate the method and trajectory format BEFORE the (slow) grid
+        # load + device upload: a typo'd -m or -t must fail in milliseconds.
+        config = RenderConfig(
+            method=args.method, effect=args.effect, aspect=args.aspect,
+            focus_map_views=args.focus_views,
+            exact_focus_taps=not args.fast_focus,
+        )
+        config.validate()
+        from .core import geometry
+
+        geometry.parse_trajectory(args.trajectory, (2, 2))  # format check
         source = (
             load_light_field(
                 args.input, progress=progress, reference_order=True
@@ -123,15 +134,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.reference_order
             else args.input
         )
-        interp = Interpolator(
-            source,
-            config=RenderConfig(
-                method=args.method, effect=args.effect, aspect=args.aspect,
-                focus_map_views=args.focus_views,
-                exact_focus_taps=not args.fast_focus,
-            ),
-            progress=progress,
-        )
+        interp = Interpolator(source, config=config, progress=progress)
         result = interp.interpolate(
             args.trajectory,
             focus=args.focus,

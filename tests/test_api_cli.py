@@ -176,6 +176,24 @@ def test_cli_bad_input_path(tmp_path, capsys):
     assert rc == 1
 
 
+def test_cli_validates_before_loading(tmp_path, capsys):
+    """A typo'd -m or -t must fail fast, BEFORE the grid load / device
+    upload: with a nonexistent input dir the reported error must be the
+    method/trajectory one, proving validation ran first."""
+    rc = cli.main(
+        ["-i", "/nonexistent", "-o", str(tmp_path), "-t", "0,0,1,1",
+         "-m", "WHAT"]
+    )
+    assert rc == 1
+    assert "does not exist" in capsys.readouterr().err
+    rc = cli.main(
+        ["-i", "/nonexistent", "-o", str(tmp_path), "-t", "0,0,1",
+         "-m", "STD"]
+    )
+    assert rc == 1
+    assert "4 comma-separated values" in capsys.readouterr().err
+
+
 def test_interpolate_batch_matches_individual(scene_dir):
     d, _, _ = scene_dir
     interp = Interpolator(d, config=RenderConfig(view_count=4), progress=False)
