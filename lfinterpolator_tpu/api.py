@@ -58,6 +58,35 @@ def _tiny_sync(out) -> None:
     _ = np.asarray(corner)
 
 
+# The XLA arm of the view-batched fixed render, split at the blend seam
+# (blend_xla.render_fixed = blend(shift_stack(...))) so the shift runs once
+# per step and only the MXU contraction repeats per weight-row batch.
+_shift_stack_jit = jax.jit(blend_xla.shift_stack)
+_blend_rows_jit = jax.jit(blend_xla.blend)
+
+
+def _batch_weights(
+    weights_np: np.ndarray, vb: int, progress: bool
+) -> tuple[int, list[jnp.ndarray]]:
+    """Split a [V, G] weight matrix into ceil(V/vb) device batches of vb
+    rows. One compiled shape serves every batch: the trailing batch's rows
+    are zero-padded (a zero row blends to zeros; trimmed host-side by
+    _drain_view_batches)."""
+    v, g = weights_np.shape
+    nb = -(-v // vb)
+    wm_pad = np.zeros((nb * vb, g), np.float32)
+    wm_pad[:v] = weights_np
+    w_batches = [
+        jnp.asarray(wm_pad[b * vb : (b + 1) * vb]) for b in range(nb)
+    ]
+    if progress:
+        print(
+            f"Rendering {v} views in {nb} batches of {vb} "
+            f"(output exceeds device memory)"
+        )
+    return nb, w_batches
+
+
 def _drain_view_batches(
     nb: int, vb: int, v: int, h: int, w: int, render_batch
 ) -> np.ndarray:
@@ -209,7 +238,6 @@ class Interpolator:
         px: int,
         py: int,
         use_pallas: bool,
-        method_key: str,
         progress: bool = False,
     ):
         """Build a step(i) rendering the views in HBM-sized batches.
@@ -230,44 +258,45 @@ class Interpolator:
         h, w = lf.height, lf.width
         v, g = weights_np.shape
         vb = plan.view_batch
-        nb = -(-v // vb)
-        # One compiled shape for every batch: zero-pad the trailing batch's
-        # weight rows (a zero row blends to zeros; trimmed host-side).
-        wm_pad = np.zeros((nb * vb, g), np.float32)
-        wm_pad[:v] = weights_np
-        w_batches = [
-            jnp.asarray(wm_pad[b * vb : (b + 1) * vb]) for b in range(nb)
-        ]
+        nb, w_batches = _batch_weights(weights_np, vb, progress)
 
+        # Cached padded stacks from earlier focus buckets are residents the
+        # plan's arithmetic did not count (each is GB-scale at the sizes
+        # that trigger batching): evict everything but this render's bucket.
+        for key in [k for k in self._padded_cache if k != (px, py)]:
+            self._padded_cache.pop(key)
         padded = None
         if plan.drop_images:
             # The raw and padded stacks cannot both stay resident under
-            # this budget: build the padded stack uncached, then free the
-            # raw one before the shift intermediate materializes.
-            padded = jax.block_until_ready(
-                jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))(
-                    self._device_images(), px, py
+            # this budget: build the padded stack UNCACHED (the plan sized
+            # the render without a cache entry), then free the raw one
+            # before the shift intermediate materializes.
+            padded = self._padded_cache.pop((px, py), None)
+            if padded is None:
+                padded = jax.block_until_ready(
+                    jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))(
+                        self._device_images(), px, py
+                    )
                 )
-            )
-            self._padded_cache.clear()
             self.images = None
         elif use_pallas:
             padded = self._padded(px, py)
         use_tiled = use_pallas and shift_pallas.supports_padded(h, w)
-        if progress:
-            print(
-                f"Rendering {v} views in {nb} batches of {vb} "
-                f"(output exceeds device memory)"
-            )
 
         def step(i: int = 0) -> np.ndarray:
             fo_i = fo_for(i)
+            # The shift is weight-independent: run it once per step, blend
+            # per batch (the XLA arm previously re-shifted every batch).
             x4 = (
                 shift_pallas.shift_padded_4d(
                     padded, fo_i, h=h, w=w, px=px, py=py
                 )
                 if use_tiled
                 else None
+            )
+            shifted = (
+                None if use_pallas
+                else _shift_stack_jit(self._device_images(), fo_i)
             )
 
             def render_batch(b: int):
@@ -279,10 +308,7 @@ class Interpolator:
                     return blend_pallas.render_fixed_padded(
                         padded, w_batches[b], fo_i, h=h, w=w, px=px, py=py
                     )
-                return pipeline.render_fixed_focus(
-                    self._device_images(), w_batches[b], fo_i,
-                    method=method_key,
-                )
+                return _blend_rows_jit(shifted, w_batches[b])
 
             return _drain_view_batches(nb, vb, v, h, w, render_batch)
 
@@ -307,28 +333,24 @@ class Interpolator:
         """Build a step(i) -> (host views [V, H, W, 3], device maps [2, H, W])
         rendering the all-focus views in HBM-sized batches.
 
-        The focus maps are view-independent, so they are estimated once per
-        run; only the per-pixel blend (reference src/kernels.cu:326/:430)
-        splits into weight-row batches, each draining to the host while the
-        next renders (mirrors _fixed_view_batched_step). The raw stack stays
-        resident: every batch's blend re-reads it.
+        The focus maps AND the per-pixel-focus selected stack are both
+        view-independent, so each runs once per step; only the final MXU
+        contraction (reference src/kernels.cu:326/:430) splits into
+        weight-row batches, each draining to the host while the next renders
+        (mirrors _fixed_view_batched_step's shift-once/blend-per-batch
+        shape). blend_selected(select_allfocus(...)) is the same
+        select+blend seam the unbatched blend_all_focus computes, so the
+        split is byte-exact.
         """
         lf = self.lf
         h, w = lf.height, lf.width
         v, g = weights_np.shape
         vb = plan.view_batch
-        nb = -(-v // vb)
-        wm_pad = np.zeros((nb * vb, g), np.float32)
-        wm_pad[:v] = weights_np
-        w_batches = [
-            jnp.asarray(wm_pad[b * vb : (b + 1) * vb]) for b in range(nb)
-        ]
+        nb, w_batches = _batch_weights(weights_np, vb, progress)
         ids_j = jnp.asarray(ids)
-        if progress:
-            print(
-                f"Rendering {v} views in {nb} batches of {vb} "
-                f"(output exceeds device memory)"
-            )
+        # Stale cached padded stacks are residents the plan did not count.
+        self._padded_cache.clear()
+        tiled = pipeline.allfocus_uses_fused_blend(method_key, h, w, spread)
 
         def step(i: int = 0):
             # same benchmark-dedup epsilon as the unbatched step
@@ -340,12 +362,15 @@ class Interpolator:
                 steps=cfg.focus_steps, pad=pad,
                 exact_taps=cfg.exact_focus_taps, spans=spans,
             )
+            selected = pipeline.select_allfocus(
+                self._device_images(), offsets_j, maps, f_i, fr,
+                method=method_key, steps=cfg.focus_steps, pad=pad,
+                spread=spread,
+            )
 
             def render_batch(b: int):
-                return pipeline.blend_all_focus(
-                    self._device_images(), w_batches[b], offsets_j, maps,
-                    f_i, fr, method=method_key, steps=cfg.focus_steps,
-                    pad=pad, spread=spread,
+                return pipeline.blend_selected(
+                    selected, w_batches[b], tiled=tiled, h=h, w=w
                 )
 
             return _drain_view_batches(nb, vb, v, h, w, render_batch), maps
@@ -434,7 +459,10 @@ class Interpolator:
             plan = (
                 capacity.plan_allfocus_render(
                     lf.grid_size, len(ids), 3, lf.height, lf.width,
-                    cfg.view_count,
+                    cfg.view_count, px=pad[0], py=pad[1],
+                    fused_blend=pipeline.allfocus_uses_fused_blend(
+                        method_key, lf.height, lf.width, spread
+                    ),
                 )
                 if self.mesh is None
                 # Mesh renders shard the stack by rows instead of batching;
@@ -539,7 +567,7 @@ class Interpolator:
                 if plan.batched:
                     step = self._fixed_view_batched_step(
                         plan, wm, fo_for, px=px, py=py, use_pallas=True,
-                        method_key=method_key, progress=progress,
+                        progress=progress,
                     )
                     host_views = True
                 else:
@@ -559,7 +587,7 @@ class Interpolator:
                 if plan.batched:
                     step = self._fixed_view_batched_step(
                         plan, wm, fo_for, px=0, py=0, use_pallas=False,
-                        method_key=method_key, progress=progress,
+                        progress=progress,
                     )
                     host_views = True
                 else:
@@ -701,8 +729,7 @@ class Interpolator:
                 if plan.batched:
                     views = self._fixed_view_batched_step(
                         plan, big_np, lambda i: fo, px=px, py=py,
-                        use_pallas=True, method_key=method_key,
-                        progress=progress,
+                        use_pallas=True, progress=progress,
                     )()
                 else:
                     views = blend_pallas.render_fixed_padded(
@@ -717,8 +744,7 @@ class Interpolator:
                 if plan.batched:
                     views = self._fixed_view_batched_step(
                         plan, big_np, lambda i: fo, px=0, py=0,
-                        use_pallas=False, method_key=method_key,
-                        progress=progress,
+                        use_pallas=False, progress=progress,
                     )()
                 else:
                     views = pipeline.render_fixed_focus(

@@ -100,7 +100,7 @@ def plan_fixed_render(
 ) -> FixedRenderPlan:
     """Size the fixed-focus render and pick a fitting view batch.
 
-    Resident buffers (all uint8), in pipeline order:
+    Resident buffers (uint8 unless noted), in pipeline order:
 
       in     [G, C, H, W]                      raw planar stack
       padded [G, C, H+2py+48, W+2px+256]       clamp-encoded pad (Pallas path)
@@ -109,8 +109,11 @@ def plan_fixed_render(
 
     Batched renders keep TWO batch outputs in flight (batch t+1 renders
     while batch t drains to the host), hence the factor 2. With
-    `use_padded=False` (XLA fallback path) there is no padded stack and the
-    raw stack can never be dropped (every batch re-reads it).
+    `use_padded=False` (the XLA fallback path) there is no padded stack, the
+    raw stack can never be dropped (every step's shift re-reads it), and the
+    XLA blend's float32 temporaries must be counted: the u8->f32 einsum
+    materializes a 4x f32 copy of the shifted stack (blend_xla.blend) plus a
+    4-byte-per-pixel accumulator for the batch being rendered.
     """
     b = (budget if budget is not None else device_hbm_bytes())
     b_eff = b - _headroom(b)
@@ -120,15 +123,20 @@ def plan_fixed_render(
     shift_b = g * c * h8 * w128
     # Per-view output bytes; unaligned geometries pay an extra cropped copy.
     ov = c * h8 * w128 + (c * h * w if (h8, w128) != (h, w) else 0)
+    # XLA blend f32 temporaries (zero on the Pallas path: its accumulator
+    # lives in VMEM). The f32 stack copy is per-call transient, counted once.
+    f32_stack = 0 if use_padded else 4 * shift_b
+    f32_view = 0 if use_padded else 4 * c * h * w  # accumulator rows
 
-    total = in_b + padded_b + shift_b + v * ov
+    total = in_b + padded_b + shift_b + f32_stack + v * (ov + f32_view)
     if total <= b_eff:
         return FixedRenderPlan(None, False, b_eff, total)
 
     def _vb(avail: int) -> int:
-        return min(v, avail // (2 * ov))
+        # two u8 batch outputs in flight + one batch's f32 accumulator
+        return min(v, avail // (2 * ov + f32_view))
 
-    vb = _vb(b_eff - in_b - padded_b - shift_b)
+    vb = _vb(b_eff - in_b - padded_b - shift_b - f32_stack)
     if vb >= 1:
         return FixedRenderPlan(vb, False, b_eff, total)
 
@@ -159,44 +167,72 @@ def plan_allfocus_render(
     w: int,
     v: int,
     *,
+    px: int = 1,
+    py: int = 1,
+    fused_blend: bool = False,
     budget: int | None = None,
 ) -> FixedRenderPlan:
     """Size the all-focus render and pick a fitting view batch.
 
-    Two phases with different residents (all uint8 unless noted):
+    Three phases with different residents (all uint8 unless noted; px/py is
+    the shift-pad bound from focus_ops.shift_pad_bound, fused_blend is
+    pipeline.allfocus_uses_fused_blend for this config -- the plan's
+    arithmetic must match the engine that actually runs):
 
-      estimate: in [G, C, H, W] + selected views [K, C, H, W] + maps
-      blend:    in + maps + out [Vb, C, H8, W128] (+ crop copy), with two
-                batch outputs in flight when batching (the per-pixel blend
-                re-reads the raw stack every batch, so the raw stack can
-                never be dropped).
+      estimate: in [G, C, H, W] + selected views [K, C, H, W] + their
+                edge-padded copy [K, C, H+2py, W+2px] (both the XLA sweep
+                and the fused kernel's tiled stack are bounded by it) + one
+                selected-scale sweep temporary + maps [2, H, W]
+      select:   in + the per-pixel-focus selected stack, built once
+                (weight-independent). Fused kernel: tiled input copy +
+                x4 output, both [G, C, H8, W128]. XLA scan: edge-padded
+                copy [G, C, H+2py, W+2px] + the [G, C, H, W] scan carry.
+      blend:    in + maps + the selected stack + out [Vb, C, H8, W128]
+                (+ crop copy), two batch outputs in flight when batching;
+                the XLA arm's blend_fast may additionally build one
+                tile-aligned copy of the selected stack.
 
-    The estimate phase is view-independent; batching only splits the blend.
+    The estimate and select phases are view-independent; batching only
+    splits the blend.
     """
     b = (budget if budget is not None else device_hbm_bytes())
     b_eff = b - _headroom(b)
     h8, w128 = _align(h, 8), _align(w, 128)
+    pxe, pye = max(px, 1), max(py, 1)
     in_b = g * c * h * w
+    shift_b = g * c * h8 * w128
+    pad_b = g * c * (h + 2 * pye) * (w + 2 * pxe)
     sel_b = k * c * h * w
+    sel_pad_b = k * c * (h + 2 * pye) * (w + 2 * pxe)
     maps_b = 2 * h * w
     ov = c * h8 * w128 + (c * h * w if (h8, w128) != (h, w) else 0)
 
-    estimate_b = in_b + sel_b + maps_b
-    total = max(estimate_b, in_b + maps_b + v * ov)
+    estimate_b = in_b + sel_b + sel_pad_b + sel_b + maps_b
+    if fused_blend:
+        select_b = in_b + 2 * shift_b + maps_b  # tiled copy + x4 out
+        keep_b = in_b + shift_b + maps_b  # x4 resident while blending
+    else:
+        select_b = in_b + pad_b + in_b + maps_b  # padded copy + scan carry
+        # selected stack + blend_fast's tile-aligned copy when unaligned
+        keep_b = in_b + in_b + maps_b + (
+            shift_b if (h8, w128) != (h, w) else 0
+        )
+    total = max(estimate_b, select_b, keep_b + v * ov)
     if total <= b_eff:
         return FixedRenderPlan(None, False, b_eff, total)
-    if estimate_b <= b_eff:
-        vb = min(v, (b_eff - in_b - maps_b) // (2 * ov))
+    if max(estimate_b, select_b) <= b_eff:
+        vb = min(v, (b_eff - keep_b) // (2 * ov))
         if vb >= 1:
             return FixedRenderPlan(vb, False, b_eff, total)
 
     gib = 2.0**30
     raise ValueError(
         f"All-focus render too large for one device: {g} images of "
-        f"{w}x{h} need {in_b / gib:.2f} GiB raw + {sel_b / gib:.2f} GiB "
-        f"selected focus views + {ov / gib:.2f} GiB per output view "
-        f"against a {b_eff / gib:.2f} GiB budget, and even a one-view "
-        f"batch does not fit. Render with a multi-chip mesh "
+        f"{w}x{h} need {estimate_b / gib:.2f} GiB to estimate the focus "
+        f"map, {select_b / gib:.2f} GiB for the per-pixel-focus select, "
+        f"and {keep_b / gib:.2f} GiB + {ov / gib:.2f} GiB per output view "
+        f"to blend, against a {b_eff / gib:.2f} GiB budget, and even a "
+        f"one-view batch does not fit. Render with a multi-chip mesh "
         f"(Interpolator(mesh=...) shards the stack by rows) or reduce the "
         f"resolution/grid."
     )

@@ -81,6 +81,81 @@ def compute_focus_maps(
     return jnp.stack([map0, map1])
 
 
+def allfocus_uses_fused_blend(
+    method: str, h: int, w: int, spread: int | None
+) -> bool:
+    """Whether blend_all_focus routes this config through the fused Pallas
+    allFocus kernel (TEN only; STD stays on the XLA 256-byte scan, measured
+    faster on dense-byte filtered maps -- see the STD branch comment).
+    Shared with capacity planning and the view-batched path so the plan's
+    arithmetic always matches the engine that actually runs."""
+    if method == "STD" or spread is None:
+        return False
+    from ..ops import allfocus_pallas
+
+    return blend_pallas.is_available() and allfocus_pallas.supports(
+        h, w, spread
+    )
+
+
+@partial(jax.jit, static_argnames=("method", "steps", "pad", "spread"))
+def select_allfocus(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    maps: jnp.ndarray,  # [2, H, W] uint8 (from compute_focus_maps)
+    focus: jnp.ndarray,  # scalar f32
+    focus_range: jnp.ndarray,  # scalar f32
+    *,
+    method: str = "STD",
+    steps: int = 32,
+    pad: tuple[int, int] | None = None,
+    spread: int | None = None,
+) -> jnp.ndarray:
+    """The weight-independent SELECT stage of blend_all_focus: every image
+    shifted by its pixel's focus level.
+
+    Returns the stack blend_selected contracts: [G, C, H8, W128] uint8 in
+    the blend_tiled operand tiling when allfocus_uses_fused_blend, else
+    [G, C, H, W] uint8. View-batched renders (api.py) call this once and
+    blend per weight-row batch; blend_selected(select_allfocus(...)) is
+    bit-identical to blend_all_focus(...) by construction (same underlying
+    select + blend functions, split at the same seam)."""
+    g, c, h, w = images.shape
+    map0, map1 = maps[0], maps[1]
+    if method == "STD":
+        return blend_xla.allfocus_selected(
+            images, offsets, map1, focus, focus_range,
+            steps=steps, pad=pad, all_bytes=True,
+        )
+    if allfocus_uses_fused_blend(method, h, w, spread):
+        from ..ops import allfocus_pallas
+
+        return allfocus_pallas.select_allfocus_quantized(
+            images, offsets, map0, focus, focus_range,
+            steps=steps, spread=spread,
+            px=pad[0] if pad is not None else max(w, 1),
+        )
+    return blend_xla.allfocus_selected(
+        images, offsets, map0, focus, focus_range, steps=steps, pad=pad,
+    )
+
+
+@partial(jax.jit, static_argnames=("tiled", "h", "w"))
+def blend_selected(
+    selected: jnp.ndarray,  # select_allfocus output
+    weights: jnp.ndarray,  # [Vb, G] float32
+    *,
+    tiled: bool,  # allfocus_uses_fused_blend(...) of the select call
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Blend one weight-row batch against a select_allfocus stack
+    -> [Vb, C, h, w] uint8."""
+    if tiled:
+        return blend_pallas.blend_tiled_cropped(selected, weights, h=h, w=w)
+    return blend_xla.blend_fast(selected, weights)
+
+
 @partial(jax.jit, static_argnames=("method", "steps", "pad", "spread"))
 def blend_all_focus(
     images: jnp.ndarray,  # [G, C, H, W] uint8
@@ -102,13 +177,7 @@ def blend_all_focus(
     """
     map0, map1 = maps[0], maps[1]
     g, c, h, w = images.shape
-    from ..ops import allfocus_pallas
-
-    use_kernel = (
-        spread is not None
-        and blend_pallas.is_available()
-        and allfocus_pallas.supports(h, w, spread)
-    )
+    use_kernel = allfocus_uses_fused_blend("TEN", h, w, spread)
     if method == "STD":
         # The filtered map has arbitrary bytes; the 256-byte-level scan is
         # exact for any map and skips absent bytes at runtime (the general
@@ -127,6 +196,8 @@ def blend_all_focus(
             images, weights, offsets, map1, focus, focus_range
         )
     if use_kernel:
+        from ..ops import allfocus_pallas
+
         return allfocus_pallas.render_allfocus_quantized_fused(
             images, weights, offsets, map0, focus, focus_range,
             steps=steps, spread=spread,

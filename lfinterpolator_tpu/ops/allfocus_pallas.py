@@ -430,6 +430,36 @@ def render_allfocus_quantized_fused(
     )
 
 
+def select_allfocus_quantized(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    focus_map: jnp.ndarray,  # [row_count or H, W] uint8 (raw, quantized)
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    steps: int,
+    spread: int,
+    px: int,
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
+) -> jnp.ndarray:
+    """The weight-independent SELECT stage of render_allfocus_quantized_fused
+    -> x4 [G, C, h8, w128] uint8 in the blend_tiled operand tiling.
+
+    Split out so view-batched renders (api.py) select once and blend per
+    weight-row batch (blend_pallas.blend_tiled_cropped); bit-identical to the
+    stack render_allfocus_quantized_fused contracts."""
+    from . import blend_xla
+
+    levels, f_levels = blend_xla.quantized_levels(focus, focus_range, steps)
+    return _select_tiled(
+        images, focus_map, levels,
+        f_levels[:, None] * offsets[None, :, 1],
+        f_levels[:, None] * offsets[None, :, 0],
+        spread=spread, px=px, row_start=row_start, row_count=row_count,
+    )
+
+
 def render_allfocus_tiled(
     images: jnp.ndarray,  # [G, C, H, W] uint8
     weights: jnp.ndarray,  # [V, G] float32
@@ -449,6 +479,25 @@ def render_allfocus_tiled(
     path. With `row_start`/`row_count`, renders only that block of output
     rows (`focus_map` must be the matching block)."""
     from .blend_pallas import blend_tiled
+
+    g, c, h, w = images.shape
+    h_out = h if row_count is None else int(row_count)
+    hl8, w128 = _align(h_out, 8), _align(w, 128)
+    x4 = _select_tiled(
+        images, focus_map, levels, fys, fxs,
+        spread=spread, px=px, row_start=row_start, row_count=row_count,
+    )
+    out = blend_tiled(x4, weights)
+    if (hl8, w128) != (h_out, w):
+        out = out[:, :, :h_out, :w]
+    return out
+
+
+def _select_tiled(
+    images, focus_map, levels, fys, fxs, *, spread, px, row_start, row_count
+):
+    """Pad the map/stack to tile alignment and run the fused select kernel
+    -> x4 [G, C, h8, w128] uint8 (the blend_tiled operand tiling)."""
     from .shift_pallas import pad_to_tiles
 
     g, c, h, w = images.shape
@@ -457,12 +506,8 @@ def render_allfocus_tiled(
     map8 = jnp.pad(
         focus_map, ((0, hl8 - h_out), (0, w128 - w)), mode="edge"
     )
-    x4 = allfocus_select_tiled(
+    return allfocus_select_tiled(
         pad_to_tiles(images), map8, levels, fys, fxs,
         h=h, w=w, spread=spread, px=px,
         row_start=row_start, row_count=row_count,
     )
-    out = blend_tiled(x4, weights)
-    if (hl8, w128) != (h_out, w):
-        out = out[:, :, :h_out, :w]
-    return out

@@ -347,6 +347,33 @@ def render_allfocus_quantized(
     reference's per-pixel int() truncation everywhere except pixels pushed
     past the left/top border (see ops/focus.py docstring).
     """
+    selected = allfocus_selected(
+        images, offsets, focus_map, focus, focus_range,
+        steps=steps, pad=pad, row_start=row_start, row_count=row_count,
+        all_bytes=all_bytes,
+    )
+    return blend_fast(selected, weights)
+
+
+def allfocus_selected(
+    images: jnp.ndarray,  # [G, C, H, W] uint8
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    focus_map: jnp.ndarray,  # [H, W] uint8, values limited to `steps` levels
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    steps: int,
+    pad: tuple[int, int] | None = None,  # static (px, py) >= max |shift|
+    row_start: jnp.ndarray | int = 0,
+    row_count: int | None = None,
+    all_bytes: bool = False,
+) -> jnp.ndarray:
+    """The weight-independent SELECT stage of render_allfocus_quantized:
+    every image shifted by its pixel's focus level -> [G, C, h_out, W] uint8.
+
+    Split out so view-batched renders (api.py) select once and blend per
+    weight-row batch (the select is the expensive per-level scan; the blend
+    is one MXU contraction per batch)."""
     g, c, h, w = images.shape
     # The byte levels the estimator can emit -- computed with the estimator's
     # exact f32 expression so the equality masks match bit-for-bit
@@ -491,7 +518,7 @@ def render_allfocus_quantized(
 
     init = jnp.zeros((g, c, h_out, w), images.dtype)
     selected, _ = lax.scan(pick, init, (fxs, fys, levels, presence))
-    return blend_fast(selected, weights)
+    return selected
 
 
 def render_allfocus(

@@ -185,7 +185,9 @@ def test_cli_validates_before_loading(tmp_path, capsys):
          "-m", "WHAT"]
     )
     assert rc == 1
-    assert "does not exist" in capsys.readouterr().err
+    # match the method-specific text: the loader's missing-dir error also
+    # says "does not exist", which would mask an ordering regression
+    assert "interpolation method" in capsys.readouterr().err
     rc = cli.main(
         ["-i", "/nonexistent", "-o", str(tmp_path), "-t", "0,0,1",
          "-m", "STD"]

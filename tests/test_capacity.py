@@ -180,15 +180,45 @@ def test_infeasible_render_raises_before_device_work(lf, monkeypatch):
         interp.interpolate("0,0,3,3", focus=0.05, progress=False)
 
 
-def _scan_allfocus_plans(v=8, k=8):
+def _allfocus_plan_inputs(lf, cfg, traj="0,0,3,3", focus=0.1, frange=0.2):
+    """The same (px, py, fused_blend) the Interpolator will plan with, so
+    budget scans match the render's actual arithmetic."""
+    from lfinterpolator_tpu.core import geometry
+    from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import allfocus_pallas
+    from lfinterpolator_tpu.ops import focus as focus_ops
+
+    se = geometry.parse_trajectory(traj, lf.cols_rows)
+    center = geometry.trajectory_center(se)
+    offsets = geometry.compute_offsets(
+        lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
+    )
+    radius = geometry.block_radius(
+        lf.width, lf.height, cfg.pixel_size_factor
+    )
+    pad = focus_ops.shift_pad_bound(
+        offsets, focus, frange, radius, lf.height, lf.width
+    )
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange)
+    method_key = "TEN" if cfg.method in ("TEN", "TEN_WM") else "STD"
+    fused = pipeline.allfocus_uses_fused_blend(
+        method_key, lf.height, lf.width, spread
+    )
+    return pad[0], pad[1], fused
+
+
+def _scan_allfocus_plans(v=8, k=8, px=1, py=1, fused_blend=False):
+    kw = dict(px=px, py=py, fused_blend=fused_blend)
     full = capacity.plan_allfocus_render(
-        G, k, C, H, W, v, budget=1 << 40
+        G, k, C, H, W, v, budget=1 << 40, **kw
     ).bytes_unbatched
     out = []
     for b in range(2 * full, 0, -max(1, full // 400)):
         try:
             out.append(
-                (b, capacity.plan_allfocus_render(G, k, C, H, W, v, budget=b))
+                (b, capacity.plan_allfocus_render(
+                    G, k, C, H, W, v, budget=b, **kw
+                ))
             )
         except ValueError:
             break
@@ -199,19 +229,33 @@ def _scan_allfocus_plans(v=8, k=8):
 
 @pytest.mark.parametrize("method", ["TEN", "STD"])
 def test_view_batched_allfocus_matches_unbatched(lf, monkeypatch, method):
-    """All-focus under a tight budget estimates maps once and batches the
-    per-pixel blend -- byte-identical views AND maps."""
+    """All-focus under a tight budget estimates maps AND the per-pixel
+    selected stack once, then batches the blend -- byte-identical views
+    AND maps.
+
+    The batched regime only exists where the output term dominates the
+    estimate/select phases (the plan correctly refuses budgets the
+    view-independent phases cannot fit), so the test needs a large
+    view_count relative to the tiny fixture."""
     monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    v = 64
     cfg = RenderConfig(
-        method=method, view_count=8, focus_map_views=8,
+        method=method, view_count=v, focus_map_views=8,
     )
     ref = Interpolator(lf, config=cfg, progress=False).interpolate(
         "0,0,3,3", focus=0.1, focus_range=0.2, progress=False
     )
     assert ref.maps is not None
+    # the fixture is 64 wide < the fused kernel's 128-lane minimum, so both
+    # methods run the XLA select here (TEN via map0/steps levels, STD via
+    # map1/all-bytes); the fused engine is covered by
+    # test_view_batched_allfocus_fused below
+    px, py, fused = _allfocus_plan_inputs(lf, cfg)
+    assert not fused
     b, plan = _first(
-        _scan_allfocus_plans(),
-        lambda p: p.batched and p.view_batch <= 3,
+        _scan_allfocus_plans(v=v, px=px, py=py, fused_blend=fused),
+        # a non-divisor batch exercises the zero-padded trailing rows
+        lambda p: p.batched and v % p.view_batch != 0,
     )
     monkeypatch.setenv("LFI_HBM_BYTES", str(b))
     out = Interpolator(lf, config=cfg, progress=False).interpolate(
@@ -221,6 +265,46 @@ def test_view_batched_allfocus_matches_unbatched(lf, monkeypatch, method):
     np.testing.assert_array_equal(out.maps, ref.maps)
     np.testing.assert_array_equal(out.views, ref.views)
     assert len(out.run_times_s) == 1
+
+
+def test_view_batched_allfocus_fused(rng, monkeypatch):
+    """The fused-kernel (TEN, >=128-lane) all-focus engine under a batched
+    plan: select_allfocus returns the tiled x4 stack and blend_selected
+    contracts it per batch -- byte-identical to the unbatched fused render."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cols = rows = 3
+    h, w, v = 96, 160, 64  # >= the kernel's 128-lane / spread-window minima
+    images = rng.integers(0, 256, size=(cols * rows, h, w, 4), dtype=np.uint8)
+    lf = LightField(images=images, cols=cols, rows=rows)
+    cfg = RenderConfig(method="TEN", view_count=v, focus_map_views=8)
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+    )
+    px, py, fused = _allfocus_plan_inputs(lf, cfg, traj="0,0,2,2")
+    assert fused, "geometry must route through the fused kernel"
+
+    def scan():
+        kw = dict(px=px, py=py, fused_blend=True)
+        full = capacity.plan_allfocus_render(
+            cols * rows, 8, C, h, w, v, budget=1 << 40, **kw
+        ).bytes_unbatched
+        for b in range(2 * full, 0, -max(1, full // 400)):
+            try:
+                yield b, capacity.plan_allfocus_render(
+                    cols * rows, 8, C, h, w, v, budget=b, **kw
+                )
+            except ValueError:
+                return
+
+    b, plan = _first(
+        list(scan()), lambda p: p.batched and v % p.view_batch != 0
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+    )
+    np.testing.assert_array_equal(out.maps, ref.maps)
+    np.testing.assert_array_equal(out.views, ref.views)
 
 
 def test_allfocus_infeasible_raises(lf, monkeypatch):
