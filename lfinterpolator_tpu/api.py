@@ -15,6 +15,7 @@ trajectories/focus values, and benchmarking is opt-in.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 
 import jax
@@ -63,6 +64,13 @@ def _tiny_sync(out) -> None:
 # per step and only the MXU contraction repeats per weight-row batch.
 _shift_stack_jit = jax.jit(blend_xla.shift_stack)
 _blend_rows_jit = jax.jit(blend_xla.blend)
+
+
+@functools.lru_cache(maxsize=1)
+def _pad_to_tiles_jit():
+    from .ops import shift_pallas
+
+    return jax.jit(shift_pallas.pad_to_tiles)
 
 
 def _batch_weights(
@@ -351,6 +359,8 @@ class Interpolator:
         # Stale cached padded stacks are residents the plan did not count.
         self._padded_cache.clear()
         tiled = pipeline.allfocus_uses_fused_blend(method_key, h, w, spread)
+        assert tiled or not plan.drop_images  # the plan gates drop on fused
+        px = pad[0] if pad is not None else max(w, 1)
 
         def step(i: int = 0):
             # same benchmark-dedup epsilon as the unbatched step
@@ -362,11 +372,25 @@ class Interpolator:
                 steps=cfg.focus_steps, pad=pad,
                 exact_taps=cfg.exact_focus_taps, spans=spans,
             )
-            selected = pipeline.select_allfocus(
-                self._device_images(), offsets_j, maps, f_i, fr,
-                method=method_key, steps=cfg.focus_steps, pad=pad,
-                spread=spread,
-            )
+            if plan.drop_images:
+                # The raw stack and the x4 select output cannot coexist
+                # under this budget: build the tiled copy, free the raw
+                # stack (re-uploaded lazily on the next use -- including
+                # this step's next benchmark repetition), select from the
+                # tiles, free them too.
+                tiles = _pad_to_tiles_jit()(self._device_images())
+                self.images = None
+                selected = pipeline.select_allfocus_pretiled(
+                    tiles, offsets_j, maps, f_i, fr,
+                    steps=cfg.focus_steps, spread=spread, px=px, h=h, w=w,
+                )
+                del tiles
+            else:
+                selected = pipeline.select_allfocus(
+                    self._device_images(), offsets_j, maps, f_i, fr,
+                    method=method_key, steps=cfg.focus_steps, pad=pad,
+                    spread=spread,
+                )
 
             def render_batch(b: int):
                 return pipeline.blend_selected(

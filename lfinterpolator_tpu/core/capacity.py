@@ -225,6 +225,19 @@ def plan_allfocus_render(
         if vb >= 1:
             return FixedRenderPlan(vb, False, b_eff, total)
 
+    # Fused-engine drop arm: estimate (needs the raw stack), build the
+    # tiled copy, DROP the raw stack, select (tiled + x4 coexist), blend
+    # batches against x4 alone. The XLA select has no such arm: its padded
+    # copy and scan carry both re-derive from the raw stack.
+    if fused_blend:
+        drop_phases = max(
+            estimate_b, in_b + shift_b + maps_b, 2 * shift_b + maps_b
+        )
+        if drop_phases <= b_eff:
+            vb = min(v, (b_eff - (shift_b + maps_b)) // (2 * ov))
+            if vb >= 1:
+                return FixedRenderPlan(vb, True, b_eff, total)
+
     gib = 2.0**30
     raise ValueError(
         f"All-focus render too large for one device: {g} images of "

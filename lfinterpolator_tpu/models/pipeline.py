@@ -140,6 +140,34 @@ def select_allfocus(
     )
 
 
+@partial(jax.jit, static_argnames=("steps", "spread", "px", "h", "w"))
+def select_allfocus_pretiled(
+    tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (shift_pallas.pad_to_tiles)
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    maps: jnp.ndarray,  # [2, H, W] uint8
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    steps: int,
+    spread: int,
+    px: int,
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """select_allfocus's fused-kernel branch over an EXISTING tiled stack.
+
+    Memory-pressured view-batched renders (api.py) build the tiled copy,
+    drop the raw device stack, then select here -- the raw stack and the
+    x4 output never coexist. TEN/raw-map (maps[0]) semantics only, matching
+    allfocus_uses_fused_blend."""
+    from ..ops import allfocus_pallas
+
+    return allfocus_pallas.select_allfocus_quantized(
+        tiled, offsets, maps[0], focus, focus_range,
+        steps=steps, spread=spread, px=px, pre_tiled=True, h=h, w=w,
+    )
+
+
 @partial(jax.jit, static_argnames=("tiled", "h", "w"))
 def blend_selected(
     selected: jnp.ndarray,  # select_allfocus output

@@ -442,13 +442,19 @@ def select_allfocus_quantized(
     px: int,
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
+    pre_tiled: bool = False,
+    h: int | None = None,
+    w: int | None = None,
 ) -> jnp.ndarray:
     """The weight-independent SELECT stage of render_allfocus_quantized_fused
     -> x4 [G, C, h8, w128] uint8 in the blend_tiled operand tiling.
 
     Split out so view-batched renders (api.py) select once and blend per
     weight-row batch (blend_pallas.blend_tiled_cropped); bit-identical to the
-    stack render_allfocus_quantized_fused contracts."""
+    stack render_allfocus_quantized_fused contracts. With `pre_tiled=True`,
+    `images` is an existing pad_to_tiles output [G, C, H8, W128] and `h`/`w`
+    give the true geometry -- used by memory-pressured renders that drop the
+    raw stack once the tiled copy exists."""
     from . import blend_xla
 
     levels, f_levels = blend_xla.quantized_levels(focus, focus_range, steps)
@@ -457,6 +463,7 @@ def select_allfocus_quantized(
         f_levels[:, None] * offsets[None, :, 1],
         f_levels[:, None] * offsets[None, :, 0],
         spread=spread, px=px, row_start=row_start, row_count=row_count,
+        pre_tiled=pre_tiled, h=h, w=w,
     )
 
 
@@ -494,20 +501,28 @@ def render_allfocus_tiled(
 
 
 def _select_tiled(
-    images, focus_map, levels, fys, fxs, *, spread, px, row_start, row_count
+    images, focus_map, levels, fys, fxs, *, spread, px, row_start, row_count,
+    pre_tiled=False, h=None, w=None,
 ):
     """Pad the map/stack to tile alignment and run the fused select kernel
-    -> x4 [G, C, h8, w128] uint8 (the blend_tiled operand tiling)."""
+    -> x4 [G, C, h8, w128] uint8 (the blend_tiled operand tiling). With
+    `pre_tiled`, `images` is already the tiled stack and h/w are given."""
     from .shift_pallas import pad_to_tiles
 
-    g, c, h, w = images.shape
+    if pre_tiled:
+        if h is None or w is None:
+            raise ValueError("pre_tiled select needs the true h/w")
+        tiled = images
+    else:
+        _, _, h, w = images.shape
+        tiled = pad_to_tiles(images)
     h_out = h if row_count is None else int(row_count)
     hl8, w128 = _align(h_out, 8), _align(w, 128)
     map8 = jnp.pad(
         focus_map, ((0, hl8 - h_out), (0, w128 - w)), mode="edge"
     )
     return allfocus_select_tiled(
-        pad_to_tiles(images), map8, levels, fys, fxs,
+        tiled, map8, levels, fys, fxs,
         h=h, w=w, spread=spread, px=px,
         row_start=row_start, row_count=row_count,
     )

@@ -276,7 +276,9 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
     h, w, v = 96, 160, 64  # >= the kernel's 128-lane / spread-window minima
     images = rng.integers(0, 256, size=(cols * rows, h, w, 4), dtype=np.uint8)
     lf = LightField(images=images, cols=cols, rows=rows)
-    cfg = RenderConfig(method="TEN", view_count=v, focus_map_views=8)
+    # focus_map_views=4 keeps the estimate phase below the select phase so
+    # the drop regime (select infeasible, drop feasible) is non-empty
+    cfg = RenderConfig(method="TEN", view_count=v, focus_map_views=4)
     ref = Interpolator(lf, config=cfg, progress=False).interpolate(
         "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
     )
@@ -286,12 +288,12 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
     def scan():
         kw = dict(px=px, py=py, fused_blend=True)
         full = capacity.plan_allfocus_render(
-            cols * rows, 8, C, h, w, v, budget=1 << 40, **kw
+            cols * rows, 4, C, h, w, v, budget=1 << 40, **kw
         ).bytes_unbatched
         for b in range(2 * full, 0, -max(1, full // 400)):
             try:
                 yield b, capacity.plan_allfocus_render(
-                    cols * rows, 8, C, h, w, v, budget=b, **kw
+                    cols * rows, 4, C, h, w, v, budget=b, **kw
                 )
             except ValueError:
                 return
@@ -305,6 +307,21 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
     )
     np.testing.assert_array_equal(out.maps, ref.maps)
     np.testing.assert_array_equal(out.views, ref.views)
+
+    # Tighter still: the fused drop arm (estimate from the raw stack,
+    # tile, DROP the raw stack, select, blend batches) -- byte-identical
+    # and the raw device stack must be gone afterwards.
+    b2, plan2 = _first(list(scan()), lambda p: p.drop_images)
+    assert plan2.batched
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b2))
+    interp = Interpolator(lf, config=cfg, progress=False)
+    out2 = interp.interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False,
+        benchmark_runs=1,  # the repetition re-uploads the dropped stack
+    )
+    np.testing.assert_array_equal(out2.maps, ref.maps)
+    np.testing.assert_array_equal(out2.views, ref.views)
+    assert interp.images is None, "raw stack must be dropped under pressure"
 
 
 def test_allfocus_infeasible_raises(lf, monkeypatch):
