@@ -362,6 +362,60 @@ class Interpolator:
         assert tiled or not plan.drop_images  # the plan gates drop on fused
         px = pad[0] if pad is not None else max(w, 1)
 
+        if plan.row_block is not None:
+            # XLA-select row-block mode (the plan only picks it for the XLA
+            # engines): the per-pixel-focus select runs block by block over
+            # a row slab (select_allfocus_rows), each block's weight-row
+            # batches blending + draining while the next block selects.
+            assert not tiled and not plan.drop_images and pad is not None
+            rb = plan.row_block
+            pye = max(int(pad[1]), 1)
+            blocks = []
+            for r0 in range(0, h, rb):
+                rc = min(rb, h - r0)
+                blocks.append((
+                    r0, rc, max(0, pye - r0), max(0, (r0 + rc + pye) - h)
+                ))
+
+            def step(i: int = 0):
+                f_i = jnp.float32(cfg.focus + 1e-7 * i)
+                fr = jnp.float32(cfg.focus_range)
+                maps = pipeline.compute_focus_maps(
+                    self._device_images(), offsets_j, f_i, fr, ids_j,
+                    radius=radius, filter_radius=filter_radius,
+                    steps=cfg.focus_steps, pad=pad,
+                    exact_taps=cfg.exact_focus_taps, spans=spans,
+                )
+                out_np = np.empty((v, h, w, 3), np.uint8)
+                pending = None  # (batch, r0, rc, device views)
+
+                def drain(item):
+                    b, r0_, rc_, o = item
+                    arr = np.asarray(o)
+                    lo = b * vb
+                    n = min(v - lo, vb)
+                    out_np[lo : lo + n, r0_ : r0_ + rc_] = (
+                        arr[:n].transpose(0, 2, 3, 1)
+                    )
+
+                for r0, rc, top, bot in blocks:
+                    sel = pipeline.select_allfocus_rows(
+                        self._device_images(), offsets_j, maps, f_i, fr,
+                        r0, method=method_key, steps=cfg.focus_steps,
+                        pad=pad, rc=rc, top=top, bot=bot,
+                    )
+                    for b in range(nb):
+                        o = pipeline.blend_selected(
+                            sel, w_batches[b], tiled=False, h=rc, w=w
+                        )
+                        if pending is not None:
+                            drain(pending)
+                        pending = (b, r0, rc, o)
+                drain(pending)
+                return out_np, maps
+
+            return step
+
         def step(i: int = 0):
             # same benchmark-dedup epsilon as the unbatched step
             f_i = jnp.float32(cfg.focus + 1e-7 * i)

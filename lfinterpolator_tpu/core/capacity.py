@@ -74,12 +74,16 @@ def _align(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class FixedRenderPlan:
-    """How to fit one fixed-focus render into device memory."""
+    """How to fit one render into device memory."""
 
     view_batch: int | None  # weight rows per fused pass; None = all at once
     drop_images: bool  # free the raw device stack during the render
     budget: int  # effective byte budget the plan was sized against
     bytes_unbatched: int  # resident bytes of the plain single-pass render
+    # All-focus XLA-select arm only: output rows per select block (the
+    # per-pixel-focus select runs block by block over a row slab instead of
+    # one full-stack pass). None = whole frame at once.
+    row_block: int | None = None
 
     @property
     def batched(self) -> bool:
@@ -237,6 +241,31 @@ def plan_allfocus_render(
             vb = min(v, (b_eff - (shift_b + maps_b)) // (2 * ov))
             if vb >= 1:
                 return FixedRenderPlan(vb, True, b_eff, total)
+    elif estimate_b <= b_eff:
+        # XLA-select row-block arm: the select scan runs block by block
+        # over a row SLAB (pipeline.select_allfocus_rows rebuilds just the
+        # rows a block's shifts read), so the full padded copy and full
+        # scan carry never materialize. Two consecutive blocks' selected
+        # stacks can overlap in flight (select t+1 dispatches while t's
+        # batches drain), hence the factor 2.
+        rb = (max(h // 2, 8) + 7) // 8 * 8
+        while rb >= 8:
+            rb8 = _align(min(rb, h), 8)
+            slab_b = g * c * (rb + 2 * pye) * (w + 2 * pxe)
+            selr_b = g * c * rb * w
+            align_b = (
+                g * c * rb8 * w128 if (rb8, w128) != (rb, w) else 0
+            )
+            ov_blk = c * rb8 * w128 + (
+                c * rb * w if (rb8, w128) != (rb, w) else 0
+            )
+            keep_blk = in_b + maps_b + 2 * selr_b + align_b
+            if max(in_b + maps_b + slab_b + 2 * selr_b, keep_blk) <= b_eff:
+                vb = min(v, (b_eff - keep_blk) // (2 * ov_blk))
+                if vb >= 1:
+                    return FixedRenderPlan(vb, False, b_eff, total, rb)
+            rb //= 2
+            rb = rb // 8 * 8
 
     gib = 2.0**30
     raise ValueError(

@@ -140,6 +140,55 @@ def select_allfocus(
     )
 
 
+@partial(jax.jit, static_argnames=("method", "steps", "pad", "rc", "top", "bot"))
+def select_allfocus_rows(
+    images: jnp.ndarray,  # [G, C, H, W] uint8 (raw stack)
+    offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
+    maps: jnp.ndarray,  # [2, H, W] uint8
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    r0: jnp.ndarray | int,  # global first output row of the block
+    *,
+    method: str,
+    steps: int,
+    pad: tuple[int, int],
+    rc: int,  # block output rows
+    top: int,  # rows of the block's pad window clipped at the top edge
+    bot: int,  # ... at the bottom edge
+) -> jnp.ndarray:
+    """select_allfocus's XLA branch for ONE row block, padding only the
+    rows the block's shifts read -> [G, C, rc, W] uint8.
+
+    The full edge-pad's rows [r0, r0 + rc + 2py) are rebuilt from the raw
+    stack as slice + edge-pad(top, bot) (identical bytes: the clipped rows
+    replicate image row 0 / H-1 exactly like the full pad), so renders
+    whose select phase outgrows HBM (e.g. STD all-focus at 8K) run
+    block-by-block without ever materializing the full padded copy.
+    top/bot are static (at most three compiled shapes: first, interior,
+    last); r0 is traced. Bit-identical to the same rows of
+    select_allfocus."""
+    g, c, h, w = images.shape
+    px, py = max(int(pad[0]), 1), max(int(pad[1]), 1)
+    rows = rc + 2 * py - top - bot
+    r0 = jnp.asarray(r0, jnp.int32)
+    block = jax.lax.dynamic_slice(
+        images, (jnp.int32(0), jnp.int32(0), r0 - (py - top), jnp.int32(0)),
+        (g, c, rows, w),
+    )
+    slab = jnp.pad(
+        block, ((0, 0), (0, 0), (top, bot), (px, px)), mode="edge"
+    )
+    map_blk = jax.lax.dynamic_slice(
+        maps, (jnp.int32(0), r0, jnp.int32(0)), (2, rc, w)
+    )
+    fmap = map_blk[1] if method == "STD" else map_blk[0]
+    return blend_xla.allfocus_selected(
+        images, offsets, fmap, focus, focus_range,
+        steps=steps, pad=pad, row_count=rc,
+        all_bytes=(method == "STD"), slab=slab, coord_row0=r0,
+    )
+
+
 @partial(jax.jit, static_argnames=("steps", "spread", "px", "h", "w"))
 def select_allfocus_pretiled(
     tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (shift_pallas.pad_to_tiles)

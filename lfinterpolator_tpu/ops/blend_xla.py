@@ -112,6 +112,7 @@ def trunc_shifted_window(
     ry: int = 0,
     rx: int = 0,
     row_start: jnp.ndarray | int = 0,
+    coord_base: jnp.ndarray | int | None = None,
 ) -> jnp.ndarray:
     """Exact C-truncation shifted window from a pre-padded image.
 
@@ -123,6 +124,13 @@ def trunc_shifted_window(
     (+1 each side) superset window plus per-row/column 3-way selects driven
     by the oracle's own trunc expression (see trunc_offsets) -- no gathers,
     bit-exact including f32 rounding at integer boundaries.
+
+    `coord_base` overrides the GLOBAL output row of `padded`'s first output
+    row (default: padded covers the whole image, so it equals row_start's
+    origin, 0). A row-block SLAB -- padded rows [r0, r0 + rc + 2py) of the
+    full edge-padded image, exactly the window a block's compute reads --
+    passes its global base r0 here while row_start stays slab-local, so the
+    per-pixel truncation still evaluates at the true global coordinate.
     """
     c = padded.shape[0]
     dyf = jnp.clip(jnp.floor(fy).astype(jnp.int32), -(py - ry - 1), py - ry - 1)
@@ -135,6 +143,7 @@ def trunc_shifted_window(
     )
     qy = (
         lax.broadcasted_iota(jnp.int32, (h_out + 2 * ry, 1), 0) - ry + row_start
+        + (0 if coord_base is None else jnp.asarray(coord_base, jnp.int32))
     )
     qx = lax.broadcasted_iota(jnp.int32, (1, w + 2 * rx), 1) - rx
     dy = trunc_offsets(qy, fy)[None]  # [1, Hout, 1] in {-1, 0, 1}
@@ -367,13 +376,24 @@ def allfocus_selected(
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
     all_bytes: bool = False,
+    slab: jnp.ndarray | None = None,  # [G, C, row_count+2py, W+2px] uint8
+    coord_row0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """The weight-independent SELECT stage of render_allfocus_quantized:
     every image shifted by its pixel's focus level -> [G, C, h_out, W] uint8.
 
     Split out so view-batched renders (api.py) select once and blend per
     weight-row batch (the select is the expensive per-level scan; the blend
-    is one MXU contraction per batch)."""
+    is one MXU contraction per batch).
+
+    `slab` replaces the full edge-padded stack with ONE row block's padded
+    window -- rows [r0, r0 + row_count + 2py) of the full pad, exactly what
+    the block's shifts read (trunc_shifted_window's dynamic-slice bound) --
+    so memory-pressured renders never materialize the full padded copy.
+    `coord_row0` = the block's global first output row r0 (row_start must
+    then be 0, the slab-local origin); `focus_map` is the block's rows.
+    Built from the raw stack by pipeline.select_allfocus_rows; bit-identical
+    to the same rows of a full-stack select."""
     g, c, h, w = images.shape
     # The byte levels the estimator can emit -- computed with the estimator's
     # exact f32 expression so the equality masks match bit-for-bit
@@ -397,7 +417,12 @@ def allfocus_selected(
     h_out = int(row_count)
     row_start = jnp.asarray(row_start, jnp.int32)
 
-    if pad is not None:
+    if slab is not None:
+        if pad is None:
+            raise ValueError("slab mode requires pad=")
+        px, py = max(int(pad[0]), 1), max(int(pad[1]), 1)
+        padded = slab  # the block's window of the full pad, pre-built
+    elif pad is not None:
         # Pre-pad once; every level's shift is then one dynamic_slice + selects
         # (see focus.shift_pad_bound for the static bound). The per-level
         # shifts are computed per row band below (shift_band).
@@ -479,6 +504,7 @@ def allfocus_selected(
                 lambda img, fy, fx: trunc_shifted_window(
                     img, fy, fx, px=px, py=py, h_out=rows, w=w,
                     row_start=row_start + band_start,
+                    coord_base=None if slab is None else coord_row0,
                 )
             )(padded, fyi, fxi)
 

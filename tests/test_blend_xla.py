@@ -333,3 +333,48 @@ def test_div_exact_matches_ieee(rng):
     np.testing.assert_array_equal(
         got2.view(np.uint32), (bytes_ / np.float32(255)).view(np.uint32)
     )
+
+
+def test_allfocus_selected_slab_blocks_match_full(rng):
+    """select_allfocus_rows (row-slab mode: each block's pad window rebuilt
+    from the raw stack) concatenates to exactly the full-stack select, for
+    both map flavors, across block sizes that hit clipped top/bottom pads
+    and a non-divisor tail."""
+    from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import focus as focus_ops
+
+    g, c, h, w = 9, 3, 52, 70
+    images = jnp.asarray(rng.integers(0, 256, (g, c, h, w), dtype=np.uint8))
+    se = geometry.parse_trajectory("0,0,2,2", (3, 3))
+    offsets = geometry.compute_offsets(
+        3, 3, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    radius = geometry.block_radius(w, h)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    offj = jnp.asarray(offsets)
+    f, fr = jnp.float32(0.1), jnp.float32(0.3)
+    maps = pipeline.compute_focus_maps(
+        images, offj, f, fr, jnp.arange(g),
+        radius=radius, filter_radius=(1, 1), steps=8, pad=pad,
+    )
+    py = max(pad[1], 1)
+    for method in ("STD", "TEN"):
+        fmap = maps[1] if method == "STD" else maps[0]
+        full = np.asarray(blend_xla.allfocus_selected(
+            images, offj, fmap, f, fr, steps=8, pad=pad,
+            all_bytes=(method == "STD"),
+        ))
+        for rb in (16, 20):
+            outs = []
+            r0 = 0
+            while r0 < h:
+                rc = min(rb, h - r0)
+                outs.append(np.asarray(pipeline.select_allfocus_rows(
+                    images, offj, maps, f, fr, r0,
+                    method=method, steps=8, pad=pad, rc=rc,
+                    top=max(0, py - r0), bot=max(0, (r0 + rc + py) - h),
+                )))
+                r0 += rc
+            np.testing.assert_array_equal(
+                np.concatenate(outs, axis=2), full, err_msg=f"{method} rb={rb}"
+            )

@@ -324,6 +324,33 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
     assert interp.images is None, "raw stack must be dropped under pressure"
 
 
+@pytest.mark.parametrize("method", ["TEN", "STD"])
+def test_view_batched_allfocus_row_blocked(lf, monkeypatch, method):
+    """Budgets too tight for the full-stack select (its padded copy + scan
+    carry) fall back to row-blocked selection: select_allfocus_rows rebuilds
+    each block's pad window from the raw stack -- byte-identical views and
+    maps, never materializing the full padded copy."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cfg = RenderConfig(method=method, view_count=8, focus_map_views=8)
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,3,3", focus=0.1, focus_range=0.2, progress=False
+    )
+    px, py, fused = _allfocus_plan_inputs(lf, cfg)
+    assert not fused  # the fixture is below the fused kernel's minima
+    b, plan = _first(
+        _scan_allfocus_plans(px=px, py=py),
+        lambda p: p.row_block is not None,
+    )
+    assert plan.row_block < H  # genuinely block-by-block
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,3,3", focus=0.1, focus_range=0.2, progress=False,
+        benchmark_runs=1,
+    )
+    np.testing.assert_array_equal(out.maps, ref.maps)
+    np.testing.assert_array_equal(out.views, ref.views)
+
+
 def test_allfocus_infeasible_raises(lf, monkeypatch):
     interp = Interpolator(
         lf, config=RenderConfig(view_count=8, focus_map_views=8),
