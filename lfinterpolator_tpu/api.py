@@ -362,30 +362,57 @@ class Interpolator:
         assert tiled or not plan.drop_images  # the plan gates drop on fused
         px = pad[0] if pad is not None else max(w, 1)
 
-        if plan.row_block is not None:
-            # XLA-select row-block mode (the plan only picks it for the XLA
-            # engines): the per-pixel-focus select runs block by block over
-            # a row slab (select_allfocus_rows), each block's weight-row
-            # batches blending + draining while the next block selects.
-            assert not tiled and not plan.drop_images and pad is not None
-            rb = plan.row_block
-            pye = max(int(pad[1]), 1)
-            blocks = []
+        def block_list(rb: int, pye: int):
+            out = []
             for r0 in range(0, h, rb):
                 rc = min(rb, h - r0)
-                blocks.append((
+                out.append((
                     r0, rc, max(0, pye - r0), max(0, (r0 + rc + pye) - h)
                 ))
+            return out
 
-            def step(i: int = 0):
-                f_i = jnp.float32(cfg.focus + 1e-7 * i)
-                fr = jnp.float32(cfg.focus_range)
-                maps = pipeline.compute_focus_maps(
+        def make_maps(f_i, fr):
+            if plan.estimate_row_block is None:
+                return pipeline.compute_focus_maps(
                     self._device_images(), offsets_j, f_i, fr, ids_j,
                     radius=radius, filter_radius=filter_radius,
                     steps=cfg.focus_steps, pad=pad,
                     exact_taps=cfg.exact_focus_taps, spans=spans,
                 )
+            # The estimate's full padded selected-views copy does not fit:
+            # estimate block by block (estimate_focus_rows rebuilds each
+            # block's pad window; its effective floor is max(pad, radius+1))
+            # and assemble + filter the tiny full map on device.
+            sel = pipeline.gather_views(self._device_images(), ids_j)
+            sel_off = offsets_j[ids_j]
+            blks = [
+                pipeline.estimate_focus_rows(
+                    sel, sel_off, f_i, fr, r0, radius=radius,
+                    steps=cfg.focus_steps, pad=pad,
+                    exact_taps=cfg.exact_focus_taps, rc=rc, top=top,
+                    bot=bot,
+                )
+                for r0, rc, top, bot in block_list(
+                    plan.estimate_row_block,
+                    max(int(pad[1]), int(radius[1]) + 1),
+                )
+            ]
+            return pipeline.assemble_focus_maps(tuple(blks), filter_radius)
+
+        if plan.row_block is not None:
+            # XLA row-block mode (the plan only picks it for the XLA
+            # engines): the per-pixel-focus select -- and under
+            # plan.estimate_row_block the disparity estimate too -- runs
+            # block by block over a row slab (select_allfocus_rows /
+            # estimate_focus_rows), each block's weight-row batches
+            # blending + draining while the next block computes.
+            assert not tiled and not plan.drop_images and pad is not None
+            blocks = block_list(plan.row_block, max(int(pad[1]), 1))
+
+            def step(i: int = 0):
+                f_i = jnp.float32(cfg.focus + 1e-7 * i)
+                fr = jnp.float32(cfg.focus_range)
+                maps = make_maps(f_i, fr)
                 out_np = np.empty((v, h, w, 3), np.uint8)
                 pending = None  # (batch, r0, rc, device views)
 
@@ -420,12 +447,7 @@ class Interpolator:
             # same benchmark-dedup epsilon as the unbatched step
             f_i = jnp.float32(cfg.focus + 1e-7 * i)
             fr = jnp.float32(cfg.focus_range)
-            maps = pipeline.compute_focus_maps(
-                self._device_images(), offsets_j, f_i, fr, ids_j,
-                radius=radius, filter_radius=filter_radius,
-                steps=cfg.focus_steps, pad=pad,
-                exact_taps=cfg.exact_focus_taps, spans=spans,
-            )
+            maps = make_maps(f_i, fr)
             if plan.drop_images:
                 # The raw stack and the x4 select output cannot coexist
                 # under this budget: build the tiled copy, free the raw

@@ -84,6 +84,12 @@ class FixedRenderPlan:
     # per-pixel-focus select runs block by block over a row slab instead of
     # one full-stack pass). None = whole frame at once.
     row_block: int | None = None
+    # All-focus: output rows per ESTIMATE block when its full padded
+    # selected-views copy does not fit (pipeline.estimate_focus_rows pads
+    # per block instead; the maps are engine-independent, so this composes
+    # with both the XLA row-block arm and the fused drop arm). None = whole
+    # frame at once.
+    estimate_row_block: int | None = None
 
     @property
     def batched(self) -> bool:
@@ -229,28 +235,67 @@ def plan_allfocus_render(
         if vb >= 1:
             return FixedRenderPlan(vb, False, b_eff, total)
 
-    # Fused-engine drop arm: estimate (needs the raw stack), build the
-    # tiled copy, DROP the raw stack, select (tiled + x4 coexist), blend
-    # batches against x4 alone. The XLA select has no such arm: its padded
-    # copy and scan carry both re-derive from the raw stack.
-    if fused_blend:
-        drop_phases = max(
-            estimate_b, in_b + shift_b + maps_b, 2 * shift_b + maps_b
+    def _estimate_rb() -> int | None:
+        """Largest row block whose per-block estimate phase fits (maps are
+        engine-independent, so a row-blocked XLA estimate composes with any
+        blend engine). None if the FULL estimate already fits."""
+        if estimate_b <= b_eff:
+            return None
+        rb = (max(h // 2, 8) + 7) // 8 * 8
+        while rb >= 8:
+            sel_slab_b = k * c * (rb + 2 * pye) * (w + 2 * pxe)
+            if in_b + sel_b + 2 * sel_slab_b + maps_b <= b_eff:
+                return rb
+            rb = (rb // 2) // 8 * 8
+        raise ValueError(_infeasible_msg())
+
+    def _infeasible_msg() -> str:
+        gib = 2.0**30
+        return (
+            f"All-focus render too large for one device: {g} images of "
+            f"{w}x{h} need {estimate_b / gib:.2f} GiB to estimate the focus "
+            f"map, {select_b / gib:.2f} GiB for the per-pixel-focus select, "
+            f"and {keep_b / gib:.2f} GiB + {ov / gib:.2f} GiB per output "
+            f"view to blend, against a {b_eff / gib:.2f} GiB budget, and "
+            f"even a one-view batch does not fit. Render with a multi-chip "
+            f"mesh (Interpolator(mesh=...) shards the stack by rows) or "
+            f"reduce the resolution/grid."
         )
-        if drop_phases <= b_eff:
-            vb = min(v, (b_eff - (shift_b + maps_b)) // (2 * ov))
-            if vb >= 1:
-                return FixedRenderPlan(vb, True, b_eff, total)
-    elif estimate_b <= b_eff:
-        # XLA-select row-block arm: the select scan runs block by block
-        # over a row SLAB (pipeline.select_allfocus_rows rebuilds just the
-        # rows a block's shifts read), so the full padded copy and full
-        # scan carry never materialize. Two consecutive blocks' selected
-        # stacks can overlap in flight (select t+1 dispatches while t's
-        # batches drain), hence the factor 2.
+
+    # Fused-engine drop arm: estimate (needs the raw stack; row-blocked
+    # when its full padded copy does not fit), build the tiled copy, DROP
+    # the raw stack, select (tiled + x4 coexist), blend batches against x4
+    # alone. The XLA select has no such arm: its padded copy and scan carry
+    # both re-derive from the raw stack.
+    if fused_blend:
+        try:
+            est_rb = _estimate_rb()
+        except ValueError:
+            est_rb = -1  # even a row-blocked estimate cannot fit
+        if est_rb != -1:
+            drop_phases = max(
+                in_b + shift_b + maps_b, 2 * shift_b + maps_b
+            )
+            if drop_phases <= b_eff:
+                vb = min(v, (b_eff - (shift_b + maps_b)) // (2 * ov))
+                if vb >= 1:
+                    return FixedRenderPlan(
+                        vb, True, b_eff, total, estimate_row_block=est_rb
+                    )
+    else:
+        # XLA row-block arm: the select scan (and, if its own full padded
+        # copy does not fit, the estimate) runs block by block over a row
+        # SLAB (pipeline.select_allfocus_rows / estimate_focus_rows rebuild
+        # just the rows a block's shifts read), so the full padded copies
+        # and full scan carry never materialize. Two consecutive blocks'
+        # buffers can overlap in flight (block t+1 dispatches while t's
+        # results drain), hence the factors 2.
+        est_full_ok = estimate_b <= b_eff
         rb = (max(h // 2, 8) + 7) // 8 * 8
         while rb >= 8:
             rb8 = _align(min(rb, h), 8)
+            sel_slab_b = k * c * (rb + 2 * pye) * (w + 2 * pxe)
+            est_blk_b = in_b + sel_b + 2 * sel_slab_b + maps_b
             slab_b = g * c * (rb + 2 * pye) * (w + 2 * pxe)
             selr_b = g * c * rb * w
             align_b = (
@@ -260,24 +305,21 @@ def plan_allfocus_render(
                 c * rb * w if (rb8, w128) != (rb, w) else 0
             )
             keep_blk = in_b + maps_b + 2 * selr_b + align_b
-            if max(in_b + maps_b + slab_b + 2 * selr_b, keep_blk) <= b_eff:
+            if (
+                (est_full_ok or est_blk_b <= b_eff)
+                and max(in_b + maps_b + slab_b + 2 * selr_b, keep_blk)
+                <= b_eff
+            ):
                 vb = min(v, (b_eff - keep_blk) // (2 * ov_blk))
                 if vb >= 1:
-                    return FixedRenderPlan(vb, False, b_eff, total, rb)
+                    return FixedRenderPlan(
+                        vb, False, b_eff, total, rb,
+                        estimate_row_block=None if est_full_ok else rb,
+                    )
             rb //= 2
             rb = rb // 8 * 8
 
-    gib = 2.0**30
-    raise ValueError(
-        f"All-focus render too large for one device: {g} images of "
-        f"{w}x{h} need {estimate_b / gib:.2f} GiB to estimate the focus "
-        f"map, {select_b / gib:.2f} GiB for the per-pixel-focus select, "
-        f"and {keep_b / gib:.2f} GiB + {ov / gib:.2f} GiB per output view "
-        f"to blend, against a {b_eff / gib:.2f} GiB budget, and even a "
-        f"one-view batch does not fit. Render with a multi-chip mesh "
-        f"(Interpolator(mesh=...) shards the stack by rows) or reduce the "
-        f"resolution/grid."
-    )
+    raise ValueError(_infeasible_msg())
 
 
 def check_capacity(resident_bytes: int, what: str, *, budget: int | None = None) -> None:

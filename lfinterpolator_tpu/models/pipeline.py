@@ -140,6 +140,71 @@ def select_allfocus(
     )
 
 
+#: One-gather jit: memory-pressured renders materialize the focus views once
+#: per step (plain indexing outside jit would dispatch an eager gather).
+gather_views = jax.jit(lambda images, ids: images[ids])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("radius", "steps", "pad", "exact_taps", "rc", "top", "bot"),
+)
+def estimate_focus_rows(
+    selected: jnp.ndarray,  # [K, C, H, W] uint8 (the focus views)
+    sel_offsets: jnp.ndarray,  # [K, 2] float32 (x, y)
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    r0: jnp.ndarray | int,  # global first output row of the block
+    *,
+    radius: tuple[int, int],
+    steps: int,
+    pad: tuple[int, int],
+    exact_taps: bool,
+    rc: int,
+    top: int,  # rows of the block's pad window clipped at the top edge
+    bot: int,  # ... at the bottom edge
+) -> jnp.ndarray:
+    """The disparity-search estimate for ONE row block, padding only the
+    rows the block's shifts read -> [rc, W] uint8 map block.
+
+    Mirrors select_allfocus_rows: the full edge-pad's rows [r0, r0+rc+2py)
+    are rebuilt from the selected views as slice + edge-pad(top, bot). The
+    pads use estimate_focus_map's effective floors max(pad, radius+1), and
+    top/bot must be computed against the same floors (api.py does). XLA
+    estimate only (the fused kernels pad internally); bit-identical to the
+    same rows of the full estimate."""
+    k, c, h, w = selected.shape
+    rx, ry = int(radius[0]), int(radius[1])
+    px, py = max(int(pad[0]), rx + 1), max(int(pad[1]), ry + 1)
+    rows = rc + 2 * py - top - bot
+    r0 = jnp.asarray(r0, jnp.int32)
+    block = jax.lax.dynamic_slice(
+        selected, (jnp.int32(0), jnp.int32(0), r0 - (py - top), jnp.int32(0)),
+        (k, c, rows, w),
+    )
+    slab = jnp.pad(
+        block, ((0, 0), (0, 0), (top, bot), (px, px)), mode="edge"
+    )
+    from ..ops import focus as focus_ops
+
+    return focus_ops.estimate_focus_map(
+        selected, sel_offsets, focus, focus_range, radius,
+        steps=steps, pad=pad, row_count=rc, exact_taps=exact_taps,
+        slab=slab, coord_row0=r0,
+    )
+
+
+@partial(jax.jit, static_argnames=("filter_radius",))
+def assemble_focus_maps(
+    map_blocks: tuple, filter_radius: tuple[int, int]
+) -> jnp.ndarray:
+    """Concatenate estimate_focus_rows blocks into the full raw map and
+    filter it -> [2, H, W] uint8 (same layout as compute_focus_maps)."""
+    map0 = jnp.concatenate(list(map_blocks), axis=0)
+    map1 = focus_ops.filter_focus_map(map0, filter_radius)
+    return jnp.stack([map0, map1])
+
+
 @partial(jax.jit, static_argnames=("method", "steps", "pad", "rc", "top", "bot"))
 def select_allfocus_rows(
     images: jnp.ndarray,  # [G, C, H, W] uint8 (raw stack)

@@ -97,6 +97,8 @@ def estimate_focus_map(
     tap_dtype: str = "u8",
     sel_mode: str = "where",
     spans: tuple[int, int] | None = None,
+    slab: jnp.ndarray | None = None,  # [K, C, row_count+2py, W+2px] uint8
+    coord_row0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
 
@@ -135,6 +137,16 @@ def estimate_focus_map(
     the fast tap rule via estimate_fast_fused, both bit-identical to the
     corresponding XLA path.
 
+    `slab` replaces the internal full edge-pad of `selected` with ONE row
+    block's padded window -- padded rows [r0, r0 + row_count + 2py), exactly
+    what the block's shifts and supersets read -- so memory-pressured
+    renders (api.py row-blocked plans) never materialize the full padded
+    copy. `coord_row0` = the block's global first output row r0 (row_start
+    must then be 0, the slab-local origin); XLA paths only (spans must be
+    None). Built by pipeline.estimate_focus_rows; bit-identical to the same
+    rows of the full-stack estimate. NOTE the slab's pads must use this
+    function's effective floors: px,py = max(pad, radius+1).
+
     Returns [row_count or H, W] uint8: round((best_focus - focus)/range * 255).
     """
     k, c, h, w = selected.shape
@@ -145,6 +157,8 @@ def estimate_focus_map(
         raise ValueError("row blocks require the padded fast path (pass pad=)")
     h_out = int(row_count)
 
+    if slab is not None and (pad is None or spans is not None):
+        raise ValueError("slab mode is XLA-only: pass pad= and spans=None")
     if spans is not None and pad is not None:
         from . import estimate_pallas
         from .blend_pallas import is_available
@@ -196,15 +210,19 @@ def estimate_focus_map(
 
     if pad is not None:
         px, py = max(int(pad[0]), rx + 1), max(int(pad[1]), ry + 1)
-        padded = jnp.pad(
-            selected, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge"
-        )  # [K, C, H+2py, W+2px]
+        if slab is not None:
+            padded = slab  # the block's window of the full pad, pre-built
+        else:
+            padded = jnp.pad(
+                selected, ((0, 0), (0, 0), (py, py), (px, px)), mode="edge"
+            )  # [K, C, H+2py, W+2px]
 
         def shift_views(fyi, fxi):
             return jax.vmap(
                 lambda img, fy, fx: blend_xla_trunc_window(
                     img, fy, fx, px=px, py=py, h_out=h_out, w=w,
                     ry=ry, rx=rx, row_start=row_start,
+                    coord_base=None if slab is None else coord_row0,
                 )
             )(padded, fyi, fxi)
 
@@ -272,7 +290,10 @@ def estimate_focus_map(
         """Oracle-exact: per-cell min/max, truncation evaluated at the CENTER
         pixel with the oracle's own rounded-f32 expression (trunc_offsets)."""
         sup = supersets(fyi, fxi).astype(tdt)  # [K,C,h+2ry+2,w+2rx+2], origin -1
-        qy = lax.broadcasted_iota(jnp.int32, (h_out, 1), 0) + row_start
+        qy = (
+            lax.broadcasted_iota(jnp.int32, (h_out, 1), 0) + row_start
+            + (0 if slab is None else jnp.asarray(coord_row0, jnp.int32))
+        )
         qx = lax.broadcasted_iota(jnp.int32, (1, w), 1)
         # d in {-1,0,1} per (view, center row/col): [K, 1, h_out, 1] / [K, 1, 1, w]
         dys = jax.vmap(lambda f: trunc_offsets(qy, f))(fyi)[:, None]

@@ -285,12 +285,12 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
     px, py, fused = _allfocus_plan_inputs(lf, cfg, traj="0,0,2,2")
     assert fused, "geometry must route through the fused kernel"
 
-    def scan():
+    def scan(divisor=400):
         kw = dict(px=px, py=py, fused_blend=True)
         full = capacity.plan_allfocus_render(
             cols * rows, 4, C, h, w, v, budget=1 << 40, **kw
         ).bytes_unbatched
-        for b in range(2 * full, 0, -max(1, full // 400)):
+        for b in range(2 * full, 0, -max(1, full // divisor)):
             try:
                 yield b, capacity.plan_allfocus_render(
                     cols * rows, 4, C, h, w, v, budget=b, **kw
@@ -323,6 +323,20 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
     np.testing.assert_array_equal(out2.views, ref.views)
     assert interp.images is None, "raw stack must be dropped under pressure"
 
+    # Tightest: the drop arm composed with a row-blocked estimate (the full
+    # padded selected-views copy no longer fits either). The regime window
+    # is narrow, so scan finely.
+    b4, plan4 = _first(
+        list(scan(8000)),
+        lambda p: p.drop_images and p.estimate_row_block is not None,
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b4))
+    out4 = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+    )
+    np.testing.assert_array_equal(out4.maps, ref.maps)
+    np.testing.assert_array_equal(out4.views, ref.views)
+
 
 @pytest.mark.parametrize("method", ["TEN", "STD"])
 def test_view_batched_allfocus_row_blocked(lf, monkeypatch, method):
@@ -346,6 +360,45 @@ def test_view_batched_allfocus_row_blocked(lf, monkeypatch, method):
     out = Interpolator(lf, config=cfg, progress=False).interpolate(
         "0,0,3,3", focus=0.1, focus_range=0.2, progress=False,
         benchmark_runs=1,
+    )
+    np.testing.assert_array_equal(out.maps, ref.maps)
+    np.testing.assert_array_equal(out.views, ref.views)
+
+
+def test_view_batched_allfocus_row_blocked_estimate(rng, monkeypatch):
+    """Budgets too tight even for the estimate's full padded selected-views
+    copy row-block the estimate as well (estimate_focus_rows pads per
+    block) -- byte-identical maps and views."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cols = rows = 3
+    h, w, v, k = 96, 160, 8, 9
+    images = rng.integers(0, 256, size=(cols * rows, h, w, 4), dtype=np.uint8)
+    lf = LightField(images=images, cols=cols, rows=rows)
+    cfg = RenderConfig(method="STD", view_count=v, focus_map_views=k)
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+    )
+    px, py, fused = _allfocus_plan_inputs(lf, cfg, traj="0,0,2,2")
+    assert not fused  # STD never routes through the fused kernel
+
+    def scan():
+        kw = dict(px=px, py=py, fused_blend=False)
+        full = capacity.plan_allfocus_render(
+            cols * rows, k, C, h, w, v, budget=1 << 40, **kw
+        ).bytes_unbatched
+        for b in range(2 * full, 0, -max(1, full // 2000)):
+            try:
+                yield b, capacity.plan_allfocus_render(
+                    cols * rows, k, C, h, w, v, budget=b, **kw
+                )
+            except ValueError:
+                return
+
+    b, plan = _first(list(scan()), lambda p: p.estimate_row_block is not None)
+    assert plan.row_block is not None
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
     )
     np.testing.assert_array_equal(out.maps, ref.maps)
     np.testing.assert_array_equal(out.views, ref.views)

@@ -212,3 +212,45 @@ def test_tap_dtype_variants_bit_identical(rng):
             if ref is None:
                 ref = m
             np.testing.assert_array_equal(m, ref)
+
+
+def test_estimate_focus_rows_blocks_match_full(rng):
+    """pipeline.estimate_focus_rows (row-slab mode: each block's pad window
+    rebuilt from the selected views) concatenates to exactly the full
+    estimate, for both tap rules, across block sizes with clipped pads and
+    a non-divisor tail."""
+    import jax.numpy as jnp
+
+    from lfinterpolator_tpu.core import geometry
+    from lfinterpolator_tpu.models import pipeline
+
+    k, c, h, w = 6, 3, 52, 70
+    sel = jnp.asarray(rng.integers(0, 256, (k, c, h, w), dtype=np.uint8))
+    se = geometry.parse_trajectory("0,0,2,2", (3, 3))
+    offsets = geometry.compute_offsets(
+        3, 3, w, h, 1.0, geometry.trajectory_center(se)
+    )[:k]
+    radius = geometry.block_radius(w, h)
+    pad = focus.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    offj = jnp.asarray(offsets)
+    f, fr = jnp.float32(0.1), jnp.float32(0.3)
+    py = max(pad[1], radius[1] + 1)  # the estimate's effective pad floor
+    for exact in (True, False):
+        full = np.asarray(focus.estimate_focus_map(
+            sel, offj, f, fr, radius, steps=8, pad=pad, exact_taps=exact
+        ))
+        for rb in (16, 20):
+            outs = []
+            r0 = 0
+            while r0 < h:
+                rc = min(rb, h - r0)
+                outs.append(np.asarray(pipeline.estimate_focus_rows(
+                    sel, offj, f, fr, r0, radius=radius, steps=8, pad=pad,
+                    exact_taps=exact, rc=rc,
+                    top=max(0, py - r0), bot=max(0, (r0 + rc + py) - h),
+                )))
+                r0 += rc
+            np.testing.assert_array_equal(
+                np.concatenate(outs, axis=0), full,
+                err_msg=f"exact={exact} rb={rb}",
+            )
