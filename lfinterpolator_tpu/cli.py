@@ -98,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # Imports deferred so `-h` stays instant (no jax init).
     from .api import Interpolator
+    from .core import geometry
     from .core.config import RenderConfig
     from .io.loader import load_light_field
 
@@ -124,8 +125,6 @@ def main(argv: list[str] | None = None) -> int:
             exact_focus_taps=not args.fast_focus,
         )
         config.validate()
-        from .core import geometry
-
         geometry.parse_trajectory(args.trajectory, (2, 2))  # format check
         source = (
             load_light_field(

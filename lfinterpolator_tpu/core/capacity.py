@@ -235,16 +235,21 @@ def plan_allfocus_render(
         if vb >= 1:
             return FixedRenderPlan(vb, False, b_eff, total)
 
+    def _slab_bytes(n: int, rb: int) -> int:
+        """One row block's edge-padded window over an n-image stack."""
+        return n * c * (rb + 2 * pye) * (w + 2 * pxe)
+
     def _estimate_rb() -> int | None:
         """Largest row block whose per-block estimate phase fits (maps are
         engine-independent, so a row-blocked XLA estimate composes with any
-        blend engine). None if the FULL estimate already fits."""
+        blend engine). None if the FULL estimate already fits; raises when
+        even the smallest block cannot (nothing can render then: every arm
+        needs the maps)."""
         if estimate_b <= b_eff:
             return None
         rb = (max(h // 2, 8) + 7) // 8 * 8
         while rb >= 8:
-            sel_slab_b = k * c * (rb + 2 * pye) * (w + 2 * pxe)
-            if in_b + sel_b + 2 * sel_slab_b + maps_b <= b_eff:
+            if in_b + sel_b + 2 * _slab_bytes(k, rb) + maps_b <= b_eff:
                 return rb
             rb = (rb // 2) // 8 * 8
         raise ValueError(_infeasible_msg())
@@ -268,20 +273,16 @@ def plan_allfocus_render(
     # alone. The XLA select has no such arm: its padded copy and scan carry
     # both re-derive from the raw stack.
     if fused_blend:
-        try:
-            est_rb = _estimate_rb()
-        except ValueError:
-            est_rb = -1  # even a row-blocked estimate cannot fit
-        if est_rb != -1:
-            drop_phases = max(
-                in_b + shift_b + maps_b, 2 * shift_b + maps_b
-            )
-            if drop_phases <= b_eff:
-                vb = min(v, (b_eff - (shift_b + maps_b)) // (2 * ov))
-                if vb >= 1:
-                    return FixedRenderPlan(
-                        vb, True, b_eff, total, estimate_row_block=est_rb
-                    )
+        # _estimate_rb raising IS the right error here: every arm needs the
+        # maps, so an unfittable estimate means nothing can render.
+        est_rb = _estimate_rb()
+        drop_phases = max(in_b + shift_b + maps_b, 2 * shift_b + maps_b)
+        if drop_phases <= b_eff:
+            vb = min(v, (b_eff - (shift_b + maps_b)) // (2 * ov))
+            if vb >= 1:
+                return FixedRenderPlan(
+                    vb, True, b_eff, total, estimate_row_block=est_rb
+                )
     else:
         # XLA row-block arm: the select scan (and, if its own full padded
         # copy does not fit, the estimate) runs block by block over a row
@@ -294,9 +295,8 @@ def plan_allfocus_render(
         rb = (max(h // 2, 8) + 7) // 8 * 8
         while rb >= 8:
             rb8 = _align(min(rb, h), 8)
-            sel_slab_b = k * c * (rb + 2 * pye) * (w + 2 * pxe)
-            est_blk_b = in_b + sel_b + 2 * sel_slab_b + maps_b
-            slab_b = g * c * (rb + 2 * pye) * (w + 2 * pxe)
+            est_blk_b = in_b + sel_b + 2 * _slab_bytes(k, rb) + maps_b
+            slab_b = _slab_bytes(g, rb)
             selr_b = g * c * rb * w
             align_b = (
                 g * c * rb8 * w128 if (rb8, w128) != (rb, w) else 0

@@ -145,6 +145,20 @@ def select_allfocus(
 gather_views = jax.jit(lambda images, ids: images[ids])
 
 
+def _row_slab(stack, r0, *, py, px, rc, top, bot):
+    """Rows [r0, r0+rc+2py) of the full edge-pad of `stack`, rebuilt from
+    the raw rows: slice + edge-pad(top, bot) replicates image row 0 / H-1
+    exactly like the full pad would (top/bot > 0 only when the window clips
+    the true image edge)."""
+    n, c, _, w = stack.shape
+    rows = rc + 2 * py - top - bot
+    block = jax.lax.dynamic_slice(
+        stack, (jnp.int32(0), jnp.int32(0), r0 - (py - top), jnp.int32(0)),
+        (n, c, rows, w),
+    )
+    return jnp.pad(block, ((0, 0), (0, 0), (top, bot), (px, px)), mode="edge")
+
+
 @partial(
     jax.jit,
     static_argnames=("radius", "steps", "pad", "exact_taps", "rc", "top", "bot"),
@@ -173,18 +187,10 @@ def estimate_focus_rows(
     top/bot must be computed against the same floors (api.py does). XLA
     estimate only (the fused kernels pad internally); bit-identical to the
     same rows of the full estimate."""
-    k, c, h, w = selected.shape
     rx, ry = int(radius[0]), int(radius[1])
     px, py = max(int(pad[0]), rx + 1), max(int(pad[1]), ry + 1)
-    rows = rc + 2 * py - top - bot
     r0 = jnp.asarray(r0, jnp.int32)
-    block = jax.lax.dynamic_slice(
-        selected, (jnp.int32(0), jnp.int32(0), r0 - (py - top), jnp.int32(0)),
-        (k, c, rows, w),
-    )
-    slab = jnp.pad(
-        block, ((0, 0), (0, 0), (top, bot), (px, px)), mode="edge"
-    )
+    slab = _row_slab(selected, r0, py=py, px=px, rc=rc, top=top, bot=bot)
     from ..ops import focus as focus_ops
 
     return focus_ops.estimate_focus_map(
@@ -234,15 +240,8 @@ def select_allfocus_rows(
     select_allfocus."""
     g, c, h, w = images.shape
     px, py = max(int(pad[0]), 1), max(int(pad[1]), 1)
-    rows = rc + 2 * py - top - bot
     r0 = jnp.asarray(r0, jnp.int32)
-    block = jax.lax.dynamic_slice(
-        images, (jnp.int32(0), jnp.int32(0), r0 - (py - top), jnp.int32(0)),
-        (g, c, rows, w),
-    )
-    slab = jnp.pad(
-        block, ((0, 0), (0, 0), (top, bot), (px, px)), mode="edge"
-    )
+    slab = _row_slab(images, r0, py=py, px=px, rc=rc, top=top, bot=bot)
     map_blk = jax.lax.dynamic_slice(
         maps, (jnp.int32(0), r0, jnp.int32(0)), (2, rc, w)
     )
