@@ -13,7 +13,7 @@ repetitions, reference: src/interpolator.cu:271-295).
 Other BASELINE configs: `python bench.py --config NAME` or env
 LFI_BENCH_CONFIG with one of: headline, c1_2x2_512, c2_4x4_1024,
 c3_allfocus_1080, c3_fast_allfocus_1080, c4_quilt_1080, c5_video_4k,
-c6_serving_batch, all.
+c6_serving_batch, c7_serving_allfocus, all.
 
 Timing method: N dispatches in flight with distinct shift tables per run and
 one tiny-fetch sync at the end (the production serving pattern). Repeated
@@ -392,6 +392,53 @@ def bench_c6():
     )
 
 
+def bench_c7():
+    # All-focus serving: 8 same-center trajectories fused into ONE [512, G]
+    # per-pixel blend sharing a single disparity estimate + select (the
+    # interpolate_batch(focus_range>0) pattern). The estimate dominates a
+    # solo all-focus run, so batched trajectories ride nearly free.
+    cols = rows = 4
+    h, w, v, n_traj = 1080, 1920, 64, 8
+    start_end, _, offsets, _ = _setup(cols, rows, h, w, v)
+    planar = _structured_scene(cols, rows, h, w)
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 16))
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
+
+    spread = allfocus_pallas.spread_bound(offsets, 0.1, 0.3)
+    spans = estimate_pallas.chunk_spans(offsets, 0.1, 0.3, 32, 4)
+    wms = [
+        geometry.quantize_weights_f16(
+            geometry.weight_matrix(
+                np.array([0.05 * t, 0.05 * t, 3.0 - 0.05 * t, 3.0 - 0.05 * t],
+                         np.float32),
+                cols, rows, 3.0, v,
+            )
+        ).astype(np.float32)
+        for t in range(n_traj)
+    ]
+    weights = jnp.asarray(np.concatenate(wms, axis=0))  # [512, G]
+    offj = jnp.asarray(offsets)
+
+    def step(i):
+        return pipeline.render_all_focus(
+            planar, weights, offj,
+            jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
+            method="TEN", radius=radius, filter_radius=frad, steps=32,
+            pad=pad, spread=spread, spans=spans,
+        )
+
+    per = _throughput(step, max(4, RUNS // 8))
+    gps = n_traj * v * h * w / per / 1e9
+    _emit(
+        f"4x4-grid 1080p all-focus serving: 8 trajectories x 64 views, one "
+        f"shared estimate+select ({per*1000:.0f} ms, {n_traj/per:.1f} traj/s)",
+        gps, "GP/s", gps / BASELINE_GPS,
+    )
+
+
 CONFIGS = {
     "headline": bench_headline,
     "c1_2x2_512": bench_c1,
@@ -401,6 +448,7 @@ CONFIGS = {
     "c4_quilt_1080": bench_c4,
     "c5_video_4k": bench_c5,
     "c6_serving_batch": bench_c6,
+    "c7_serving_allfocus": bench_c7,
 }
 
 

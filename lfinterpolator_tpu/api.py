@@ -733,12 +733,13 @@ class Interpolator:
         trajectories: list[str],
         *,
         focus: float = 0.0,
+        focus_range: float = 0.0,
         method: str | None = None,
         effect: float | None = None,
         aspect: float | None = None,
         progress: bool = True,
     ) -> list[RenderResult]:
-        """Render several trajectories in few fused passes (fixed focus).
+        """Render several trajectories in few fused passes.
 
         The blend is bandwidth-bound on reading the image stack, so stacking
         the trajectories' weight matrices into one [n*V, G] matrix makes the
@@ -749,10 +750,18 @@ class Interpolator:
         group's stacked output outgrows device memory, the pass falls back
         to view batches (see _fixed_view_batched_step). (No reference
         equivalent -- the CUDA tool renders one trajectory per process.)
+
+        With `focus_range > 0` (all-in-focus), sharing goes further: the
+        focus-view selection, disparity maps, and per-pixel-focus selected
+        stack all depend only on the group's center, so one estimate + one
+        select serve every trajectory in the group and each pays only its
+        MXU contraction -- the estimate is >60% of a solo all-focus run.
+        Each result carries the group's shared maps.
         """
         cfg = dataclasses.replace(
             self.config,
             focus=focus,
+            focus_range=focus_range,
             method=(method or self.config.method),
             effect=(effect if effect is not None else self.config.effect),
             aspect=(aspect if aspect is not None else self.config.aspect),
@@ -788,15 +797,85 @@ class Interpolator:
             big_np = np.concatenate(wms, axis=0)  # [len(idxs)*V, G]
             big = jnp.asarray(big_np)
             fo = jnp.asarray(geometry.focused_offsets(offsets, cfg.focus))
+            maps_np = None
 
-            if self.mesh is not None:
+            if self.mesh is not None and big.shape[0] % self.mesh.shape["view"] != 0:
+                raise ValueError(
+                    f"batched view count {big.shape[0]} must divide by the "
+                    f"mesh view axis ({self.mesh.shape['view']})"
+                )
+
+            if cfg.uses_focus_map:
+                # All trajectories of a group share the center, so the
+                # focus-view selection, the disparity maps, and the
+                # per-pixel-focus selected stack are shared too -- one
+                # estimate+select serves the whole group.
+                radius = geometry.block_radius(
+                    lf.width, lf.height, cfg.pixel_size_factor
+                )
+                filter_radius = (
+                    radius[0] // cfg.filter_radius_divisor,
+                    radius[1] // cfg.filter_radius_divisor,
+                )
+                ids = geometry.select_focus_views(
+                    parsed[idxs[0]], lf.cols, lf.rows, cfg.focus_map_views
+                )
+                from .ops import allfocus_pallas, estimate_pallas
+                from .ops import focus as focus_ops
+
+                pad = focus_ops.shift_pad_bound(
+                    offsets, cfg.focus, cfg.focus_range, radius,
+                    lf.height, lf.width,
+                )
+                spread = allfocus_pallas.spread_bound(
+                    offsets, cfg.focus, cfg.focus_range
+                )
+                spans = estimate_pallas.chunk_spans(
+                    offsets, cfg.focus, cfg.focus_range, cfg.focus_steps, 4
+                )
+                offsets_j = jnp.asarray(offsets)
+                kwargs = dict(
+                    method=method_key, radius=radius,
+                    filter_radius=filter_radius, steps=cfg.focus_steps,
+                    pad=pad, spans=spans,
+                )
+                if self.mesh is not None:
+                    from .parallel import mesh as pmesh
+
+                    views, maps = pmesh.render_all_focus_sharded(
+                        self.mesh, self._device_images(),
+                        pmesh.shard_weights(self.mesh, big), offsets_j,
+                        jnp.float32(cfg.focus), jnp.float32(cfg.focus_range),
+                        jnp.asarray(ids), exact_taps=cfg.exact_focus_taps,
+                        spread=spread, **kwargs,
+                    )
+                else:
+                    plan = capacity.plan_allfocus_render(
+                        lf.grid_size, len(ids), 3, lf.height, lf.width,
+                        big_np.shape[0], px=pad[0], py=pad[1],
+                        fused_blend=pipeline.allfocus_uses_fused_blend(
+                            method_key, lf.height, lf.width, spread
+                        ),
+                    )
+                    if plan.batched:
+                        views, maps = self._allfocus_view_batched_step(
+                            plan, big_np, offsets_j, ids, cfg,
+                            radius=radius, filter_radius=filter_radius,
+                            pad=pad, spread=spread, spans=spans,
+                            method_key=method_key, progress=progress,
+                        )()
+                    else:
+                        views, maps = pipeline.render_all_focus(
+                            self._device_images(), big, offsets_j,
+                            jnp.float32(cfg.focus),
+                            jnp.float32(cfg.focus_range), jnp.asarray(ids),
+                            exact_taps=cfg.exact_focus_taps, spread=spread,
+                            **kwargs,
+                        )
+                maps_np = _fetch(maps)
+            elif self.mesh is not None:
                 from .parallel import mesh as pmesh
 
-                if big.shape[0] % self.mesh.shape["view"] != 0:
-                    raise ValueError(
-                        f"batched view count {big.shape[0]} must divide by the "
-                        f"mesh view axis ({self.mesh.shape['view']})"
-                    )
                 big_sharded = pmesh.shard_weights(self.mesh, big)
                 # Mirror interpolate(): prefer the fused Pallas kernel per
                 # shard when the method and geometry allow it.
@@ -857,7 +936,7 @@ class Interpolator:
             for j, i in enumerate(idxs):
                 results[i] = RenderResult(
                     views=views_np[j * v : (j + 1) * v],
-                    maps=None,
+                    maps=maps_np,  # the group's shared maps (all-focus)
                     run_times_s=[],
                     config=cfg,
                 )

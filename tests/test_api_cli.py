@@ -208,6 +208,29 @@ def test_interpolate_batch_matches_individual(scene_dir):
         np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
 
 
+def test_interpolate_batch_allfocus_matches_individual(scene_dir, monkeypatch):
+    """All-focus batch: same-center trajectories share one estimate + one
+    per-pixel-focus select; every entry must equal its solo run byte for
+    byte (incl. the shared maps), for both methods."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    d, _, _ = scene_dir
+    trajs = ["0.0,0.0,1.0,1.0", "0.2,0.2,0.8,0.8", "0.5,0.5,0.5,0.5"]
+    for m in ("STD", "TEN"):
+        interp = Interpolator(
+            d, config=RenderConfig(method=m, view_count=4, focus_map_views=8),
+            progress=False,
+        )
+        batch = interp.interpolate_batch(
+            trajs, focus=0.1, focus_range=0.2, progress=False
+        )
+        for t, res in zip(trajs, batch):
+            solo = interp.interpolate(
+                t, focus=0.1, focus_range=0.2, progress=False
+            )
+            np.testing.assert_array_equal(res.maps, solo.maps, err_msg=t)
+            np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
+
+
 def test_interpolate_batch_mixed_centers_matches_individual(scene_dir):
     """Trajectories with differing centers are grouped and still exact."""
     d, _, _ = scene_dir

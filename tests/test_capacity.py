@@ -267,6 +267,33 @@ def test_view_batched_allfocus_matches_unbatched(lf, monkeypatch, method):
     assert len(out.run_times_s) == 1
 
 
+def test_view_batched_interpolate_batch_allfocus(lf, monkeypatch):
+    """interpolate_batch with focus_range: the group's stacked all-focus
+    pass falls back to view batches under pressure -- byte-identical to the
+    unbatched batch (shared maps included)."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    # view_count=24 x 3 same-center trajectories = 72 stacked rows, enough
+    # for the output term to dominate the select phase on the fixture
+    cfg = RenderConfig(method="STD", view_count=24, focus_map_views=8)
+    trajs = ["0,0,3,3", "1,1,2,2", "0,0,3,3"]
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, progress=False
+    )
+    assert ref[0].maps is not None
+    px, py, fused = _allfocus_plan_inputs(lf, cfg)
+    b, plan = _first(
+        _scan_allfocus_plans(v=72, px=px, py=py, fused_blend=fused),
+        lambda p: p.batched,
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, progress=False
+    )
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(o.maps, r.maps)
+        np.testing.assert_array_equal(o.views, r.views)
+
+
 def test_view_batched_allfocus_fused(rng, monkeypatch):
     """The fused-kernel (TEN, >=128-lane) all-focus engine under a batched
     plan: select_allfocus returns the tiled x4 stack and blend_selected

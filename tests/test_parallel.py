@@ -224,7 +224,7 @@ def test_interpolate_batch_with_mesh(devices, tmp_path, small_lf):
     for c in range(cols):
         for r in range(rows):
             codec.encode_png(str(d / f"{c:02d}_{r:02d}.png"), images[c * rows + r])
-    cfg = RenderConfig(view_count=4)
+    cfg = RenderConfig(view_count=4, focus_map_views=8)
     m = pmesh.make_mesh(devices, view_parallel=2)
     single = Interpolator(str(d), config=cfg, progress=False)
     sharded = Interpolator(str(d), config=cfg, progress=False, mesh=m)
@@ -234,6 +234,19 @@ def test_interpolate_batch_with_mesh(devices, tmp_path, small_lf):
     for a, b in zip(want, got):
         diff = np.abs(a.views.astype(int) - b.views.astype(int))
         assert diff.max() <= 1
+
+    # all-focus batch: the group shares one sharded estimate; the sharded
+    # XLA engines match the single-chip ones exactly
+    want_af = single.interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, progress=False
+    )
+    got_af = sharded.interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, progress=False
+    )
+    for a, b in zip(want_af, got_af):
+        assert a.maps is not None
+        np.testing.assert_array_equal(a.maps, b.maps)
+        np.testing.assert_array_equal(a.views, b.views)
 
 
 def test_multihost_two_process_render():
