@@ -244,6 +244,28 @@ def test_interpolate_batch_mixed_centers_matches_individual(scene_dir):
         np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
 
 
+def test_interpolate_batch_allfocus_mixed_centers(scene_dir, monkeypatch):
+    """All-focus batch across TWO center groups: each group gets its own
+    estimate/maps; every entry (views AND maps) equals its solo run."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    d, _, _ = scene_dir
+    interp = Interpolator(
+        d, config=RenderConfig(view_count=4, focus_map_views=8),
+        progress=False,
+    )
+    trajs = ["0.0,0.0,1.0,1.0", "0.0,0.0,0.5,0.5", "0.2,0.2,0.8,0.8"]
+    batch = interp.interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, progress=False
+    )
+    maps_seen = set()
+    for t, res in zip(trajs, batch):
+        solo = interp.interpolate(t, focus=0.1, focus_range=0.2, progress=False)
+        np.testing.assert_array_equal(res.maps, solo.maps, err_msg=t)
+        np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
+        maps_seen.add(res.maps.tobytes())
+    assert len(maps_seen) == 2  # two centers -> two distinct map sets
+
+
 def test_loader_single_image_grid(tmp_path, rng):
     """A 1x1 grid exercises the batch path's empty-remainder call."""
     d = tmp_path / "single"
