@@ -371,13 +371,18 @@ class Interpolator:
                 ))
             return out
 
+        # The plan's estimate arithmetic sized ONE engine (the fused padded
+        # operand carries a dead DMA tail the XLA sweep doesn't); withhold
+        # spans -- the fused route trigger -- unless that engine was fused.
+        spans_eff = spans if plan.estimate_fused else None
+
         def make_maps(f_i, fr):
             if plan.estimate_row_block is None:
                 return pipeline.compute_focus_maps(
                     self._device_images(), offsets_j, f_i, fr, ids_j,
                     radius=radius, filter_radius=filter_radius,
                     steps=cfg.focus_steps, pad=pad,
-                    exact_taps=cfg.exact_focus_taps, spans=spans,
+                    exact_taps=cfg.exact_focus_taps, spans=spans_eff,
                 )
             # The estimate's full padded selected-views copy does not fit:
             # estimate block by block (estimate_focus_rows rebuilds each
@@ -390,7 +395,7 @@ class Interpolator:
                     sel, sel_off, f_i, fr, r0, radius=radius,
                     steps=cfg.focus_steps, pad=pad,
                     exact_taps=cfg.exact_focus_taps, rc=rc, top=top,
-                    bot=bot,
+                    bot=bot, spans=spans_eff,
                 )
                 for r0, rc, top, bot in block_list(
                     plan.estimate_row_block,
@@ -563,6 +568,11 @@ class Interpolator:
                     fused_blend=pipeline.allfocus_uses_fused_blend(
                         method_key, lf.height, lf.width, spread
                     ),
+                    est_fused_bytes=estimate_pallas.slab_bytes_fn(
+                        lf.height, lf.width, len(ids), 3, cfg.focus_steps,
+                        radius, spans, pad[0], pad[1],
+                        exact_taps=cfg.exact_focus_taps,
+                    ),
                 )
                 if self.mesh is None
                 # Mesh renders shard the stack by rows instead of batching;
@@ -588,7 +598,11 @@ class Interpolator:
                         filter_radius=filter_radius,
                         steps=cfg.focus_steps,
                         pad=pad,
-                        spans=spans,
+                        # Run the estimate engine the plan sized (meshes
+                        # plan per shard row block and always take fused).
+                        spans=spans
+                        if self.mesh is not None or plan.estimate_fused
+                        else None,
                     )
                     if self.mesh is not None:
                         from .parallel import mesh as pmesh
@@ -856,6 +870,11 @@ class Interpolator:
                         fused_blend=pipeline.allfocus_uses_fused_blend(
                             method_key, lf.height, lf.width, spread
                         ),
+                        est_fused_bytes=estimate_pallas.slab_bytes_fn(
+                            lf.height, lf.width, len(ids), 3,
+                            cfg.focus_steps, radius, spans, pad[0], pad[1],
+                            exact_taps=cfg.exact_focus_taps,
+                        ),
                     )
                     if plan.batched:
                         views, maps = self._allfocus_view_batched_step(
@@ -865,6 +884,8 @@ class Interpolator:
                             method_key=method_key, progress=progress,
                         )()
                     else:
+                        # run the estimate engine the plan sized
+                        kwargs["spans"] = spans if plan.estimate_fused else None
                         views, maps = pipeline.render_all_focus(
                             self._device_images(), big, offsets_j,
                             jnp.float32(cfg.focus),

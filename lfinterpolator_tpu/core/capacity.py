@@ -90,6 +90,12 @@ class FixedRenderPlan:
     # with both the XLA row-block arm and the fused drop arm). None = whole
     # frame at once.
     estimate_row_block: int | None = None
+    # All-focus: whether the plan's estimate arithmetic sized the FUSED
+    # SWAR kernels (estimate_pallas) -- their padded operand carries a dead
+    # DMA tail the XLA sweep doesn't, so the engine must be part of the
+    # plan. api.py passes `spans` to the estimate only when True, keeping
+    # the engine that runs the one that was sized.
+    estimate_fused: bool = False
 
     @property
     def batched(self) -> bool:
@@ -180,6 +186,7 @@ def plan_allfocus_render(
     px: int = 1,
     py: int = 1,
     fused_blend: bool = False,
+    est_fused_bytes=None,
     budget: int | None = None,
 ) -> FixedRenderPlan:
     """Size the all-focus render and pick a fitting view batch.
@@ -189,10 +196,13 @@ def plan_allfocus_render(
     pipeline.allfocus_uses_fused_blend for this config -- the plan's
     arithmetic must match the engine that actually runs):
 
-      estimate: in [G, C, H, W] + selected views [K, C, H, W] + their
-                edge-padded copy [K, C, H+2py, W+2px] (both the XLA sweep
-                and the fused kernel's tiled stack are bounded by it) + one
-                selected-scale sweep temporary + maps [2, H, W]
+      estimate: in [G, C, H, W] + selected views [K, C, H, W] + maps
+                [2, H, W] + the engine's big operand. Fused SWAR kernels
+                (`est_fused_bytes` given -- estimate_pallas.slab_bytes_fn,
+                exact per-geometry arithmetic incl. the dead DMA tail):
+                the tail-extended edge pad, or per row block the slab +
+                its tail-extended copy. XLA sweep: the edge-padded copy
+                [K, C, H+2py, W+2px] + one selected-scale sweep temporary.
       select:   in + the per-pixel-focus selected stack, built once
                 (weight-independent). Fused kernel: tiled input copy +
                 x4 output, both [G, C, H8, W128]. XLA scan: edge-padded
@@ -203,7 +213,13 @@ def plan_allfocus_render(
                 tile-aligned copy of the selected stack.
 
     The estimate and select phases are view-independent; batching only
-    splits the blend.
+    splits the blend. The estimate engine + row blocking are decided first
+    (every arm needs the maps) in preference order fused-full, fused
+    row-blocked, XLA-full, XLA row-blocked: the fused kernels are ~1.9x
+    the XLA sweep and their window traffic is nearly block-size
+    independent, so a row-blocked fused estimate still beats a full-frame
+    XLA one. `plan.estimate_fused` records the choice; api.py passes
+    `spans` (the fused route trigger) only when it is True.
     """
     b = (budget if budget is not None else device_hbm_bytes())
     b_eff = b - _headroom(b)
@@ -217,7 +233,7 @@ def plan_allfocus_render(
     maps_b = 2 * h * w
     ov = c * h8 * w128 + (c * h * w if (h8, w128) != (h, w) else 0)
 
-    estimate_b = in_b + sel_b + sel_pad_b + sel_b + maps_b
+    est_xla_full_b = in_b + sel_b + sel_pad_b + sel_b + maps_b
     if fused_blend:
         select_b = in_b + 2 * shift_b + maps_b  # tiled copy + x4 out
         keep_b = in_b + shift_b + maps_b  # x4 resident while blending
@@ -227,45 +243,63 @@ def plan_allfocus_render(
         keep_b = in_b + in_b + maps_b + (
             shift_b if (h8, w128) != (h, w) else 0
         )
-    total = max(estimate_b, select_b, keep_b + v * ov)
-    if total <= b_eff:
-        return FixedRenderPlan(None, False, b_eff, total)
-    if max(estimate_b, select_b) <= b_eff:
-        vb = min(v, (b_eff - keep_b) // (2 * ov))
-        if vb >= 1:
-            return FixedRenderPlan(vb, False, b_eff, total)
 
     def _slab_bytes(n: int, rb: int) -> int:
         """One row block's edge-padded window over an n-image stack."""
         return n * c * (rb + 2 * pye) * (w + 2 * pxe)
 
-    def _estimate_rb() -> int | None:
-        """Largest row block whose per-block estimate phase fits (maps are
-        engine-independent, so a row-blocked XLA estimate composes with any
-        blend engine). None if the FULL estimate already fits; raises when
-        even the smallest block cannot (nothing can render then: every arm
-        needs the maps)."""
-        if estimate_b <= b_eff:
-            return None
-        rb = (max(h // 2, 8) + 7) // 8 * 8
-        while rb >= 8:
-            if in_b + sel_b + 2 * _slab_bytes(k, rb) + maps_b <= b_eff:
-                return rb
-            rb = (rb // 2) // 8 * 8
-        raise ValueError(_infeasible_msg())
-
     def _infeasible_msg() -> str:
         gib = 2.0**30
         return (
             f"All-focus render too large for one device: {g} images of "
-            f"{w}x{h} need {estimate_b / gib:.2f} GiB to estimate the focus "
-            f"map, {select_b / gib:.2f} GiB for the per-pixel-focus select, "
-            f"and {keep_b / gib:.2f} GiB + {ov / gib:.2f} GiB per output "
-            f"view to blend, against a {b_eff / gib:.2f} GiB budget, and "
-            f"even a one-view batch does not fit. Render with a multi-chip "
-            f"mesh (Interpolator(mesh=...) shards the stack by rows) or "
-            f"reduce the resolution/grid."
+            f"{w}x{h} need {est_xla_full_b / gib:.2f} GiB to estimate the "
+            f"focus map, {select_b / gib:.2f} GiB for the per-pixel-focus "
+            f"select, and {keep_b / gib:.2f} GiB + {ov / gib:.2f} GiB per "
+            f"output view to blend, against a {b_eff / gib:.2f} GiB "
+            f"budget, and even a one-view batch does not fit. Render with "
+            f"a multi-chip mesh (Interpolator(mesh=...) shards the stack "
+            f"by rows) or reduce the resolution/grid."
         )
+
+    def _est_plan() -> tuple[int | None, bool, int]:
+        """(est_row_block, fused, estimate-phase bytes); raises when even
+        the smallest row block cannot fit in either engine (nothing can
+        render then: every arm needs the maps). Two consecutive blocks'
+        buffers can overlap in flight, hence the factor 2."""
+        if est_fused_bytes is not None:
+            fb = est_fused_bytes(h)
+            if fb is not None and in_b + sel_b + fb + maps_b <= b_eff:
+                return None, True, in_b + sel_b + fb + maps_b
+            rb = (max(h // 2, 8) + 7) // 8 * 8
+            while rb >= 8:
+                sb = est_fused_bytes(rb)
+                if sb is not None and in_b + sel_b + 2 * sb + maps_b <= b_eff:
+                    return rb, True, in_b + sel_b + 2 * sb + maps_b
+                rb = (rb // 2) // 8 * 8
+        if est_xla_full_b <= b_eff:
+            return None, False, est_xla_full_b
+        rb = (max(h // 2, 8) + 7) // 8 * 8
+        while rb >= 8:
+            blk = in_b + sel_b + 2 * _slab_bytes(k, rb) + maps_b
+            if blk <= b_eff:
+                return rb, False, blk
+            rb = (rb // 2) // 8 * 8
+        raise ValueError(_infeasible_msg())
+
+    est_rb, est_fused, estimate_b = _est_plan()
+
+    total = max(estimate_b, select_b, keep_b + v * ov)
+    if total <= b_eff and est_rb is None:
+        return FixedRenderPlan(
+            None, False, b_eff, total, estimate_fused=est_fused
+        )
+    if max(estimate_b, select_b) <= b_eff:
+        vb = min(v, (b_eff - keep_b) // (2 * ov))
+        if vb >= 1:
+            return FixedRenderPlan(
+                vb, False, b_eff, total,
+                estimate_row_block=est_rb, estimate_fused=est_fused,
+            )
 
     # Fused-engine drop arm: estimate (needs the raw stack; row-blocked
     # when its full padded copy does not fit), build the tiled copy, DROP
@@ -273,29 +307,25 @@ def plan_allfocus_render(
     # alone. The XLA select has no such arm: its padded copy and scan carry
     # both re-derive from the raw stack.
     if fused_blend:
-        # _estimate_rb raising IS the right error here: every arm needs the
-        # maps, so an unfittable estimate means nothing can render.
-        est_rb = _estimate_rb()
         drop_phases = max(in_b + shift_b + maps_b, 2 * shift_b + maps_b)
         if drop_phases <= b_eff:
             vb = min(v, (b_eff - (shift_b + maps_b)) // (2 * ov))
             if vb >= 1:
                 return FixedRenderPlan(
-                    vb, True, b_eff, total, estimate_row_block=est_rb
+                    vb, True, b_eff, total,
+                    estimate_row_block=est_rb, estimate_fused=est_fused,
                 )
     else:
-        # XLA row-block arm: the select scan (and, if its own full padded
-        # copy does not fit, the estimate) runs block by block over a row
-        # SLAB (pipeline.select_allfocus_rows / estimate_focus_rows rebuild
-        # just the rows a block's shifts read), so the full padded copies
-        # and full scan carry never materialize. Two consecutive blocks'
-        # buffers can overlap in flight (block t+1 dispatches while t's
-        # results drain), hence the factors 2.
-        est_full_ok = estimate_b <= b_eff
+        # XLA row-block arm: the select scan runs block by block over a row
+        # SLAB (pipeline.select_allfocus_rows rebuilds just the rows a
+        # block's shifts read), so the full padded copy and full scan carry
+        # never materialize. Two consecutive blocks' buffers can overlap in
+        # flight (block t+1 dispatches while t's results drain), hence the
+        # factors 2. The estimate's own blocking (est_rb) was decided
+        # above: its phase completes before the first select block runs.
         rb = (max(h // 2, 8) + 7) // 8 * 8
         while rb >= 8:
             rb8 = _align(min(rb, h), 8)
-            est_blk_b = in_b + sel_b + 2 * _slab_bytes(k, rb) + maps_b
             slab_b = _slab_bytes(g, rb)
             selr_b = g * c * rb * w
             align_b = (
@@ -305,16 +335,12 @@ def plan_allfocus_render(
                 c * rb * w if (rb8, w128) != (rb, w) else 0
             )
             keep_blk = in_b + maps_b + 2 * selr_b + align_b
-            if (
-                (est_full_ok or est_blk_b <= b_eff)
-                and max(in_b + maps_b + slab_b + 2 * selr_b, keep_blk)
-                <= b_eff
-            ):
+            if max(in_b + maps_b + slab_b + 2 * selr_b, keep_blk) <= b_eff:
                 vb = min(v, (b_eff - keep_blk) // (2 * ov_blk))
                 if vb >= 1:
                     return FixedRenderPlan(
                         vb, False, b_eff, total, rb,
-                        estimate_row_block=None if est_full_ok else rb,
+                        estimate_row_block=est_rb, estimate_fused=est_fused,
                     )
             rb //= 2
             rb = rb // 8 * 8

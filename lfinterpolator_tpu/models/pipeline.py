@@ -161,7 +161,9 @@ def _row_slab(stack, r0, *, py, px, rc, top, bot):
 
 @partial(
     jax.jit,
-    static_argnames=("radius", "steps", "pad", "exact_taps", "rc", "top", "bot"),
+    static_argnames=(
+        "radius", "steps", "pad", "exact_taps", "rc", "top", "bot", "spans",
+    ),
 )
 def estimate_focus_rows(
     selected: jnp.ndarray,  # [K, C, H, W] uint8 (the focus views)
@@ -177,6 +179,7 @@ def estimate_focus_rows(
     rc: int,
     top: int,  # rows of the block's pad window clipped at the top edge
     bot: int,  # ... at the bottom edge
+    spans: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """The disparity-search estimate for ONE row block, padding only the
     rows the block's shifts read -> [rc, W] uint8 map block.
@@ -184,19 +187,41 @@ def estimate_focus_rows(
     Mirrors select_allfocus_rows: the full edge-pad's rows [r0, r0+rc+2py)
     are rebuilt from the selected views as slice + edge-pad(top, bot). The
     pads use estimate_focus_map's effective floors max(pad, radius+1), and
-    top/bot must be computed against the same floors (api.py does). XLA
-    estimate only (the fused kernels pad internally); bit-identical to the
-    same rows of the full estimate."""
+    top/bot must be computed against the same floors (api.py does). With
+    `spans` given (and the fused kernels available + supporting this block
+    geometry -- the capacity plan's estimate_fused flag gates the call,
+    since the fused operand is a bigger resident than the XLA sweep's
+    temporaries) the block runs through the fused SWAR kernels' slab mode,
+    with the padded operand built DIRECTLY from the raw stack
+    (estimate_pallas.window_slab -- one slab-sized buffer per block);
+    without, the XLA estimate runs over the _row_slab window. Either way
+    bit-identical to the same rows of the full estimate."""
     rx, ry = int(radius[0]), int(radius[1])
     px, py = max(int(pad[0]), rx + 1), max(int(pad[1]), ry + 1)
     r0 = jnp.asarray(r0, jnp.int32)
-    slab = _row_slab(selected, r0, py=py, px=px, rc=rc, top=top, bot=bot)
+    from ..ops import blend_pallas, estimate_pallas
     from ..ops import focus as focus_ops
 
+    use_fused = spans is not None and blend_pallas.is_available() and (
+        estimate_pallas.supports if exact_taps else
+        estimate_pallas.supports_fast
+    )(rc, selected.shape[3], selected.shape[0], steps, radius,
+      spans[0], spans[1])
+    if use_fused:
+        hp, wp = estimate_pallas.slab_dims(
+            rc, selected.shape[3], selected.shape[0], steps, radius,
+            spans[0], spans[1], pad[0], pad[1], exact_taps=exact_taps,
+        )
+        slab = estimate_pallas.window_slab(
+            selected, r0, px=px, py=py, rc=rc, top=top, bot=bot,
+            hp=hp, wp=wp,
+        )
+    else:
+        slab = _row_slab(selected, r0, py=py, px=px, rc=rc, top=top, bot=bot)
     return focus_ops.estimate_focus_map(
         selected, sel_offsets, focus, focus_range, radius,
         steps=steps, pad=pad, row_count=rc, exact_taps=exact_taps,
-        slab=slab, coord_row0=r0,
+        slab=slab, coord_row0=r0, spans=spans,
     )
 
 

@@ -214,8 +214,10 @@ def _est_kernel(
     base8_ref,  # SMEM [CC, K] i32 (8-aligned window row base, band 0)
     lst_ref,  # SMEM [WC, CC, K] i32 (128-aligned window lane start)
     lvl_ref,  # SMEM [S] i32 (map byte per candidate)
-    rs_ref,  # SMEM [1] i32 (row_start)
-    pad_ref,  # HBM [K, C, HP, WP] u8 (edge-padded view stack)
+    rs_ref,  # SMEM [2] i32 (global coord row start, window row start --
+    #          equal in full mode; slab mode passes (r0, 0): trunc masks
+    #          need GLOBAL rows, window/base math runs in slab-local rows)
+    pad_ref,  # HBM [K, C, HP, WP] u8 (edge-padded view stack or slab)
     out_ref,  # VMEM block [TB, W128] u8
     win,  # VMEM scratch [K, TBW, WL] u8
     accs,  # VMEM scratch [18, TB/4, WL] u32 (min/max per cell)
@@ -304,8 +306,9 @@ def _est_kernel(
         # packed alignment: A[m] = window[m + dr] with
         # dr = py + row_start + ny - (base8 + band*tb) + band*tb ... the
         # band term cancels: dr = py + rs + ny - base8 - (ry + 2) shifted
-        # so variants index at off + ry + 2 >= 1
-        dr = py + rs_ref[0] + ny - base8_ref[cc, kv] - (ry + 2)
+        # so variants index at off + ry + 2 >= 1 (rs = the WINDOW row
+        # start, rs_ref[1]: 0 in slab mode where base8 is slab-local)
+        dr = py + rs_ref[1] + ny - base8_ref[cc, kv] - (ry + 2)
         rb4 = dr // 4
         rr = dr - 4 * rb4
         z0 = pltpu.roll(w32, (rall - rb4 % rall) % rall, 0)
@@ -498,7 +501,7 @@ def _est_fast_kernel(
     base8_ref,  # SMEM [CC, K] i32
     lst_ref,  # SMEM [WC, CC, K] i32
     lvl_ref,  # SMEM [S] i32
-    rs_ref,  # SMEM [1] i32
+    rs_ref,  # SMEM [2] i32 (global coord row start, window row start)
     pad_ref,  # HBM [K, C, HP, WP] u8
     out_ref,  # VMEM block [TB, W128] u8
     win,  # VMEM scratch [K, TBW, WL] u8
@@ -587,8 +590,9 @@ def _est_fast_kernel(
         w32 = pltpu.bitcast(win[kv], jnp.uint32)  # [TBW/4, WL]
         # same alignment fold as the exact kernel: base byte b holds band
         # row b - (ry + 2), so window byte j (band row j - ry) sits at
-        # base byte j + d + 2 for trunc variant d
-        dr = py + rs_ref[0] + ny - base8_ref[cc, kv] - (ry + 2)
+        # base byte j + d + 2 for trunc variant d (rs_ref[1] = the window
+        # row start: 0 in slab mode where base8 is slab-local)
+        dr = py + rs_ref[1] + ny - base8_ref[cc, kv] - (ry + 2)
         rb4 = dr // 4
         rr = dr - 4 * rb4
         z0 = pltpu.roll(w32, (rall - rb4 % rall) % rall, 0)
@@ -713,42 +717,145 @@ def _est_fast_kernel(
             ]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "h_out", "w", "radius", "steps", "px", "py", "span_y", "span_x",
-    ),
-)
-def estimate_fused(
-    selected: jnp.ndarray,  # [K, C, H, W] uint8
-    sel_offsets: jnp.ndarray,  # [K, 2] f32 (x, y)
-    focus: jnp.ndarray,
-    focus_range: jnp.ndarray,
-    *,
-    h_out: int,
-    w: int,
-    radius: tuple[int, int],
-    steps: int,
-    px: int,
-    py: int,
-    span_y: int,
-    span_x: int,
-    row_start: jnp.ndarray | int = 0,
-) -> jnp.ndarray:
-    """Fused exact-taps estimate -> [align8(h_out), W128] uint8 map.
+def _tail_pad(slab: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
+    """[K, C, SR, SW] slab -> [K, C, HP, WP]: extend the dead DMA-overshoot
+    tail below/right by edge replication (one broadcast+concat pass, like
+    _edge_pad's tail; the tail rows/cols are fetched but never selected)."""
+    k, c, sr, sw = slab.shape
+    bot = jnp.broadcast_to(slab[:, :, sr - 1 :, :], (k, c, hp - sr, sw))
+    x = jnp.concatenate([slab, bot], axis=2)
+    right = jnp.broadcast_to(x[:, :, :, sw - 1 :], (k, c, hp, wp - sw))
+    return jnp.concatenate([x, right], axis=3)
 
-    Bit-identical to focus.estimate_focus_map(exact_taps=True, pad=(px,py))
-    on rows [row_start, row_start+h_out); callers slice [:h_out, :w].
-    `span_y`/`span_x` are the static chunk_spans bounds; (px, py) the
-    shift_pad_bound pads. Check supports() first.
+
+def slab_dims(
+    h_out: int, w: int, k: int, steps: int, radius: tuple[int, int],
+    span_y: int, span_x: int, px: int, py: int, exact_taps: bool = True,
+) -> tuple[int, int] | None:
+    """(HP, WP) of the fused kernels' padded operand for an h_out-row run
+    (full frame or one row block), or None when no config fits. px/py may
+    be the raw shift_pad_bound values; the kernels' effective floors are
+    applied here. Must match _run's derivation exactly."""
+    rx, ry = int(radius[0]), int(radius[1])
+    pxe, pye = max(int(px), rx + 1), max(int(py), ry + 1)
+    # same short-circuit as supports()/supports_fast(): the planner must
+    # size the fused engine only for geometries the runtime gate accepts
+    if w < 256 or _align(h_out, 8) < 8 or k < 1 or steps < 2:
+        return None
+    pick = _pick_cfg if exact_taps else _pick_cfg_fast
+    cfg = pick(
+        _align(h_out, 8), _align(w, 128), k, steps, ry, rx, span_y, span_x
+    )
+    if cfg is None:
+        return None
+    tbw, wl = cfg[1], cfg[2]
+    return (
+        _align(h_out + 2 * pye, 8) + tbw,
+        _align(w + 2 * pxe, 128) + wl,
+    )
+
+
+def slab_extra_bytes(
+    rb: int, h: int, w: int, k: int, c: int, steps: int,
+    radius: tuple[int, int], span_y: int, span_x: int, px: int, py: int,
+    exact_taps: bool = True,
+) -> int | None:
+    """Host-side capacity arithmetic for the fused estimate's big resident:
+    the [K, C, HP, WP] padded operand of one rb-row run (the full frame
+    when rb >= h). Row blocks build it DIRECTLY from the raw selected
+    stack (pipeline.estimate_focus_rows -> window_slab), so exactly one
+    such buffer exists per block. Returns None when the geometry has no
+    fused config (the caller then plans the XLA engine)."""
+    dims = slab_dims(
+        min(int(rb), h), w, k, steps, radius, span_y, span_x, px, py,
+        exact_taps=exact_taps,
+    )
+    if dims is None:
+        return None
+    return k * c * dims[0] * dims[1]
+
+
+def window_slab(
+    selected: jnp.ndarray,  # [K, C, H, W] uint8 (raw selected stack)
+    r0, *, px: int, py: int, rc: int, top: int, bot: int,
+    hp: int, wp: int,
+) -> jnp.ndarray:
+    """Rows [r0, r0+HP) x cols [-px, WP-px) of the virtual full edge pad,
+    built directly from the raw stack in ONE slice + broadcast/concat pass
+    -> [K, C, HP, WP] uint8, the fused kernels' slab-mode operand.
+
+    Equals _tail_pad(pipeline._row_slab(...), hp, wp) byte for byte (the
+    extension rows replicate the same clamped edge row) without ever
+    materializing the intermediate XLA-shaped slab -- halves the slab-mode
+    peak residency. top/bot are the block's STATIC edge-clip counts against
+    the same (px, py) effective floors (api.block_list semantics); px/py
+    must already be the effective floors."""
+    n, c, h, w = selected.shape
+    rows = rc + 2 * py - top - bot
+    r0 = jnp.asarray(r0, jnp.int32)
+    blk = jax.lax.dynamic_slice(
+        selected, (jnp.int32(0), jnp.int32(0), r0 - (py - top), jnp.int32(0)),
+        (n, c, rows, w),
+    )
+    topr = jnp.broadcast_to(blk[:, :, :1, :], (n, c, top, w))
+    botr = jnp.broadcast_to(blk[:, :, rows - 1 :, :], (n, c, hp - top - rows, w))
+    x = jnp.concatenate([topr, blk, botr], axis=2)
+    left = jnp.broadcast_to(x[:, :, :, :1], (n, c, hp, px))
+    right = jnp.broadcast_to(x[:, :, :, w - 1 :], (n, c, hp, wp - w - px))
+    return jnp.concatenate([left, x, right], axis=3)
+
+
+def slab_bytes_fn(
+    h: int, w: int, k: int, c: int, steps: int,
+    radius: tuple[int, int], spans: tuple[int, int], px: int, py: int,
+    exact_taps: bool = True,
+):
+    """The `est_fused_bytes` callable capacity.plan_allfocus_render takes:
+    rb -> slab_extra_bytes(rb, ...) for this geometry, or None when the
+    fused estimate cannot run at all (no TPU/interpret backend) -- the
+    planner then sizes the XLA sweep, and api.py withholds `spans` so the
+    engine that runs is the one that was sized."""
+    from .blend_pallas import is_available
+
+    if not is_available():
+        return None
+    return lambda rb: slab_extra_bytes(
+        rb, h, w, k, c, steps, radius, int(spans[0]), int(spans[1]),
+        px, py, exact_taps=exact_taps,
+    )
+
+
+def _run(
+    selected, sel_offsets, focus, focus_range, *,
+    h_out: int, w: int, radius: tuple[int, int], steps: int,
+    px: int, py: int, span_y: int, span_x: int,
+    row_start, slab, coord_row0, fast: bool,
+) -> jnp.ndarray:
+    """Shared host preamble + pallas_call of both fused estimate kernels.
+
+    Full mode (slab=None): `selected` is the [K, C, H, W] stack; it is
+    edge-padded with clamp semantics + the dead alignment tail, and
+    `row_start` is both the coordinate and the window row origin.
+
+    Slab mode (slab=[K, C, h_out+2py, W+2px], the same window
+    pipeline._row_slab builds for the XLA row-blocked estimate -- rows
+    [r0, r0+h_out+2py) of the virtual full pad): only the dead DMA tail is
+    appended (top/left pads are already in the slab), the window/base math
+    runs in slab-local rows (window row start 0), and `coord_row0` = r0
+    feeds the kernels' GLOBAL-row truncation masks. Isomorphic to full
+    mode under (h -> h_out, hp -> slab hp, rs_win -> 0), so bit-identity
+    with the same rows of the full run holds by the same argument.
     """
     from .blend_xla import div_exact, no_fma
 
-    k, c, h, w_in = selected.shape
+    src = selected if slab is None else slab
+    k, c = src.shape[0], src.shape[1]
     rx, ry = int(radius[0]), int(radius[1])
     h8 = _align(h_out, 8)
     w128 = _align(w, 128)
-    cfg = _pick_cfg(h8, w128, k, steps, ry, rx, span_y, span_x)
+    cfg = (_pick_cfg_fast if fast else _pick_cfg)(
+        h8, w128, k, steps, ry, rx, span_y, span_x
+    )
     if cfg is None:
         raise ValueError("geometry unsupported; check supports() first")
     tb, tbw, wl, cc, sc, wco = cfg
@@ -780,29 +887,69 @@ def estimate_fused(
         jnp.floor(fxs).astype(jnp.int32), -(px - rx - 1), px - rx - 1
     )
 
-    row_start = jnp.asarray(row_start, jnp.int32)
     # per-(chunk, view) aligned window starts; windows may overshoot the
     # needed rows/lanes by alignment+span slack, so the padded stack gets
     # a dead tail below/right that is fetched but never selected
-    nys_c = nys.reshape(cc, sc, k)
-    mny = nys_c.min(axis=1)  # [CC, K]
-    hp = _align(h + 2 * py, 8) + tbw
-    wp = _align(w_in + 2 * px, 128) + wl
-    base = py + row_start + mny - (ry + 2)
+    mny = nys.reshape(cc, sc, k).min(axis=1)  # [CC, K]
+    mnx = nxs.reshape(cc, sc, k).min(axis=1)  # [CC, K]
+    if slab is None:
+        h, w_in = selected.shape[2], selected.shape[3]
+        hp = _align(h + 2 * py, 8) + tbw
+        wp = _align(w_in + 2 * px, 128) + wl
+        rs_win = jnp.asarray(row_start, jnp.int32)
+        rs_coord = rs_win
+        # edge-padded stack with clamp semantics + dead alignment tail
+        padded = _edge_pad(selected, px, py, hp, wp)
+    else:
+        hp = _align(h_out + 2 * py, 8) + tbw
+        wp = _align(w + 2 * px, 128) + wl
+        rs_win = jnp.int32(0)
+        rs_coord = jnp.asarray(coord_row0, jnp.int32)
+        sr, sw = slab.shape[2], slab.shape[3]
+        if (sr, sw) == (hp, wp):
+            padded = slab  # pre-built window (window_slab)
+        elif sr == h_out + 2 * py:
+            # raw XLA-shaped slab (pipeline._row_slab): append the dead
+            # DMA tail below/right
+            padded = _tail_pad(slab, hp, wp)
+        else:
+            raise ValueError(
+                f"slab rows must be h_out+2py={h_out + 2 * py} (raw) or "
+                f"the window_slab dims ({hp}, {wp}); got ({sr}, {sw})"
+            )
+    base = py + rs_win + mny - (ry + 2)
     base8 = jnp.clip(base, 0, hp - tbw - (nb - 1) * tb) // 8 * 8
-    nxs_c = nxs.reshape(cc, sc, k)
-    mnx = nxs_c.min(axis=1)  # [CC, K]
     lst = _lst_table(mnx, px, rx, n_wc, wco, wp, wl)
-
-    # edge-padded stack with clamp semantics + dead alignment tail
-    padded = _edge_pad(selected, px, py, hp, wp)
+    rs2 = jnp.stack([rs_coord, rs_win])
 
     kernel = functools.partial(
-        _est_kernel,
+        _est_fast_kernel if fast else _est_kernel,
         tb=tb, tbw=tbw, wl=wl, sc=sc, ry=ry, rx=rx, px=px, py=py,
         wco=wco, k_views=k, n_ch=c,
     )
-    out = pl.pallas_call(
+    if fast:
+        rc4 = (tb + 2 * ry) // 4 + 2
+        scratch = [
+            pltpu.VMEM((k, tbw, wl), jnp.uint8),
+            pltpu.VMEM((rc4, wl), jnp.uint32),
+            pltpu.VMEM((rc4, wl), jnp.uint32),
+            pltpu.VMEM((sc, rc4, wl), jnp.uint32),
+            pltpu.VMEM((4, tb // 4, wl), jnp.int32),
+            pltpu.VMEM((tb // 4, wl), jnp.uint32),
+            pltpu.SemaphoreType.DMA((k,)),
+        ]
+        flops = 60 * steps * k * c * h8 * n_wc * wl // 4
+    else:
+        scratch = [
+            pltpu.VMEM((k, tbw, wl), jnp.uint8),
+            pltpu.VMEM((18, tb // 4, wl), jnp.uint32),
+            pltpu.VMEM((9, sc, tb // 4, wl), jnp.uint32),
+            pltpu.VMEM((4, tb // 4, wl), jnp.int32),
+            pltpu.VMEM((tb // 4, wl), jnp.uint32),
+            pltpu.SemaphoreType.DMA((k,)),
+        ]
+        flops = 300 * steps * k * c * h8 * n_wc * wl // 4
+    return pl.pallas_call(
         kernel,
         grid=(nb, n_wc, cc, c, sc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
@@ -812,16 +959,9 @@ def estimate_fused(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((h8, w128), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((k, tbw, wl), jnp.uint8),
-            pltpu.VMEM((18, tb // 4, wl), jnp.uint32),
-            pltpu.VMEM((9, sc, tb // 4, wl), jnp.uint32),
-            pltpu.VMEM((4, tb // 4, wl), jnp.int32),
-            pltpu.VMEM((tb // 4, wl), jnp.uint32),
-            pltpu.SemaphoreType.DMA((k,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=300 * steps * k * c * h8 * n_wc * wl // 4,
+            flops=flops,
             bytes_accessed=nb * n_wc * cc * c * k * tbw * wl,
             transcendentals=0,
         ),
@@ -830,10 +970,9 @@ def estimate_fused(
         fys.astype(jnp.float32),
         fxs.astype(jnp.float32),
         nys, nxs, base8, lst, lvl,
-        row_start.reshape(1),
+        rs2,
         padded,
     )
-    return out
 
 
 @functools.partial(
@@ -842,8 +981,8 @@ def estimate_fused(
         "h_out", "w", "radius", "steps", "px", "py", "span_y", "span_x",
     ),
 )
-def estimate_fast_fused(
-    selected: jnp.ndarray,  # [K, C, H, W] uint8
+def estimate_fused(
+    selected: jnp.ndarray | None,  # [K, C, H, W] uint8 (None in slab mode)
     sel_offsets: jnp.ndarray,  # [K, 2] f32 (x, y)
     focus: jnp.ndarray,
     focus_range: jnp.ndarray,
@@ -857,99 +996,65 @@ def estimate_fast_fused(
     span_y: int,
     span_x: int,
     row_start: jnp.ndarray | int = 0,
+    slab: jnp.ndarray | None = None,  # [K, C, h_out+2py, W+2px] uint8
+    coord_row0: jnp.ndarray | int = 0,
+) -> jnp.ndarray:
+    """Fused exact-taps estimate -> [align8(h_out), W128] uint8 map.
+
+    Bit-identical to focus.estimate_focus_map(exact_taps=True, pad=(px,py))
+    on rows [row_start, row_start+h_out); callers slice [:h_out, :w].
+    `span_y`/`span_x` are the static chunk_spans bounds; (px, py) the
+    shift_pad_bound pads. Check supports() first.
+
+    Slab mode (`slab` given, `selected` ignored/None, row_start must stay
+    0): the estimate runs over ONE row block's pad window -- padded rows
+    [r0, r0+h_out+2py) of the virtual full pad, the same window
+    pipeline._row_slab builds -- with `coord_row0` = r0 feeding the global
+    row coordinates; the full padded stack never materializes (see _run).
+    """
+    return _run(
+        selected, sel_offsets, focus, focus_range,
+        h_out=h_out, w=w, radius=radius, steps=steps, px=px, py=py,
+        span_y=span_y, span_x=span_x, row_start=row_start,
+        slab=slab, coord_row0=coord_row0, fast=False,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h_out", "w", "radius", "steps", "px", "py", "span_y", "span_x",
+    ),
+)
+def estimate_fast_fused(
+    selected: jnp.ndarray | None,  # [K, C, H, W] uint8 (None in slab mode)
+    sel_offsets: jnp.ndarray,  # [K, 2] f32 (x, y)
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    h_out: int,
+    w: int,
+    radius: tuple[int, int],
+    steps: int,
+    px: int,
+    py: int,
+    span_y: int,
+    span_x: int,
+    row_start: jnp.ndarray | int = 0,
+    slab: jnp.ndarray | None = None,  # [K, C, h_out+2py, W+2px] uint8
+    coord_row0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Fused FAST-taps estimate -> [align8(h_out), W128] uint8 map.
 
     Bit-identical to focus.estimate_focus_map(exact_taps=False, pad=(px,py))
     on rows [row_start, row_start+h_out); callers slice [:h_out, :w]. The
-    host preamble mirrors estimate_fused exactly (same tables, pads and
-    clips -- the fast rule changes only the in-kernel tap construction).
+    host preamble is estimate_fused's exactly (shared _run -- the fast rule
+    changes only the in-kernel tap construction), including the slab mode.
     Check supports_fast() first.
     """
-    from .blend_xla import div_exact, no_fma
-
-    k, c, h, w_in = selected.shape
-    rx, ry = int(radius[0]), int(radius[1])
-    h8 = _align(h_out, 8)
-    w128 = _align(w, 128)
-    cfg = _pick_cfg_fast(h8, w128, k, steps, ry, rx, span_y, span_x)
-    if cfg is None:
-        raise ValueError("geometry unsupported; check supports_fast() first")
-    tb, tbw, wl, cc, sc, wco = cfg
-    nb = h8 // tb
-    n_wc = w128 // wco
-
-    focus = jnp.asarray(focus, jnp.float32)
-    focus_range = jnp.asarray(focus_range, jnp.float32)
-    step = div_exact(focus_range, jnp.float32(steps - 1))
-    idx = jnp.arange(steps, dtype=jnp.float32)
-    candidates = focus + no_fma(step * idx)  # [S]
-    fys = candidates[:, None] * sel_offsets[None, :, 1]  # [S, K]
-    fxs = candidates[:, None] * sel_offsets[None, :, 0]
-
-    best_focus = focus + no_fma(step * idx)
-    normalized = div_exact(best_focus - focus, focus_range)
-    nv = no_fma(normalized * jnp.float32(255))
-    lvl = jnp.where(nv >= 0, jnp.floor(nv + 0.5), jnp.ceil(nv - 0.5)).astype(
-        jnp.int32
+    return _run(
+        selected, sel_offsets, focus, focus_range,
+        h_out=h_out, w=w, radius=radius, steps=steps, px=px, py=py,
+        span_y=span_y, span_x=span_x, row_start=row_start,
+        slab=slab, coord_row0=coord_row0, fast=True,
     )
-
-    nys = jnp.clip(
-        jnp.floor(fys).astype(jnp.int32), -(py - ry - 1), py - ry - 1
-    )
-    nxs = jnp.clip(
-        jnp.floor(fxs).astype(jnp.int32), -(px - rx - 1), px - rx - 1
-    )
-
-    row_start = jnp.asarray(row_start, jnp.int32)
-    nys_c = nys.reshape(cc, sc, k)
-    mny = nys_c.min(axis=1)  # [CC, K]
-    hp = _align(h + 2 * py, 8) + tbw
-    wp = _align(w_in + 2 * px, 128) + wl
-    base = py + row_start + mny - (ry + 2)
-    base8 = jnp.clip(base, 0, hp - tbw - (nb - 1) * tb) // 8 * 8
-    nxs_c = nxs.reshape(cc, sc, k)
-    mnx = nxs_c.min(axis=1)  # [CC, K]
-    lst = _lst_table(mnx, px, rx, n_wc, wco, wp, wl)
-
-    padded = _edge_pad(selected, px, py, hp, wp)
-
-    rc4 = (tb + 2 * ry) // 4 + 2
-    kernel = functools.partial(
-        _est_fast_kernel,
-        tb=tb, tbw=tbw, wl=wl, sc=sc, ry=ry, rx=rx, px=px, py=py,
-        wco=wco, k_views=k, n_ch=c,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(nb, n_wc, cc, c, sc),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec(
-            (tb, wco), lambda b, wcg, ccg, cg, sg: (b, wcg),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((h8, w128), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((k, tbw, wl), jnp.uint8),
-            pltpu.VMEM((rc4, wl), jnp.uint32),
-            pltpu.VMEM((rc4, wl), jnp.uint32),
-            pltpu.VMEM((sc, rc4, wl), jnp.uint32),
-            pltpu.VMEM((4, tb // 4, wl), jnp.int32),
-            pltpu.VMEM((tb // 4, wl), jnp.uint32),
-            pltpu.SemaphoreType.DMA((k,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=60 * steps * k * c * h8 * n_wc * wl // 4,
-            bytes_accessed=nb * n_wc * cc * c * k * tbw * wl,
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(
-        fys.astype(jnp.float32),
-        fxs.astype(jnp.float32),
-        nys, nxs, base8, lst, lvl,
-        row_start.reshape(1),
-        padded,
-    )
-    return out

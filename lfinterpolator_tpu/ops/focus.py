@@ -142,10 +142,14 @@ def estimate_focus_map(
     what the block's shifts and supersets read -- so memory-pressured
     renders (api.py row-blocked plans) never materialize the full padded
     copy. `coord_row0` = the block's global first output row r0 (row_start
-    must then be 0, the slab-local origin); XLA paths only (spans must be
-    None). Built by pipeline.estimate_focus_rows; bit-identical to the same
-    rows of the full-stack estimate. NOTE the slab's pads must use this
-    function's effective floors: px,py = max(pad, radius+1).
+    must then be 0, the slab-local origin). Composes with `spans`: the
+    fused kernels run in slab mode (estimate_pallas._run), taking either
+    the raw slab (tail-padded internally) or a pre-built window_slab with
+    the dead DMA tail already in place, so row-blocked estimates keep the
+    fused speed. Built by pipeline.estimate_focus_rows;
+    bit-identical to the same rows of the full-stack estimate. NOTE the
+    slab's pads must use this function's effective floors:
+    px,py = max(pad, radius+1).
 
     Returns [row_count or H, W] uint8: round((best_focus - focus)/range * 255).
     """
@@ -157,8 +161,8 @@ def estimate_focus_map(
         raise ValueError("row blocks require the padded fast path (pass pad=)")
     h_out = int(row_count)
 
-    if slab is not None and (pad is None or spans is not None):
-        raise ValueError("slab mode is XLA-only: pass pad= and spans=None")
+    if slab is not None and pad is None:
+        raise ValueError("slab mode requires the padded fast path: pass pad=")
     if spans is not None and pad is not None:
         from . import estimate_pallas
         from .blend_pallas import is_available
@@ -167,26 +171,24 @@ def estimate_focus_map(
         # bounds +-(py-ry-1)/+-(px-rx-1) assume pad > radius, and the XLA
         # path this route must match bit-for-bit applies the identical max.
         pxe, pye = max(int(pad[0]), rx + 1), max(int(pad[1]), ry + 1)
-        if exact_taps:
-            if is_available() and estimate_pallas.supports(
-                h_out, w, k, steps, (rx, ry), spans[0], spans[1]
-            ):
-                return estimate_pallas.estimate_fused(
-                    selected, sel_offsets, focus, focus_range,
-                    h_out=h_out, w=w, radius=(rx, ry), steps=steps,
-                    px=pxe, py=pye,
-                    span_y=int(spans[0]), span_x=int(spans[1]),
-                    row_start=row_start,
-                )[:h_out, :w]
-        elif is_available() and estimate_pallas.supports_fast(
+        sup = estimate_pallas.supports if exact_taps else (
+            estimate_pallas.supports_fast
+        )
+        if is_available() and sup(
             h_out, w, k, steps, (rx, ry), spans[0], spans[1]
         ):
-            return estimate_pallas.estimate_fast_fused(
-                selected, sel_offsets, focus, focus_range,
+            fn = (
+                estimate_pallas.estimate_fused
+                if exact_taps
+                else estimate_pallas.estimate_fast_fused
+            )
+            return fn(
+                None if slab is not None else selected,
+                sel_offsets, focus, focus_range,
                 h_out=h_out, w=w, radius=(rx, ry), steps=steps,
                 px=pxe, py=pye,
                 span_y=int(spans[0]), span_x=int(spans[1]),
-                row_start=row_start,
+                row_start=row_start, slab=slab, coord_row0=coord_row0,
             )[:h_out, :w]
     row_start = jnp.asarray(row_start, jnp.int32)
     focus = jnp.asarray(focus, jnp.float32)

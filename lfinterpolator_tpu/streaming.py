@@ -120,6 +120,7 @@ class StreamingRenderer:
             self._spans = estimate_pallas.chunk_spans(
                 offsets, cfg.focus, cfg.focus_range, cfg.focus_steps, 4
             )
+            self._spans_eff = self._spans  # the guard below may withhold
             self._offsets_j = jnp.asarray(offsets)
         self._use_pallas = (
             not self._uses_focus_map
@@ -162,8 +163,39 @@ class StreamingRenderer:
         in_b = g * 3 * height * width
         out_b = self.cfg.view_count * 3 * h8 * w128
         shift_b = g * 3 * h8 * w128 if self._use_pallas else 0
+        resident = (self.prefetch + 1) * in_b + shift_b + out_b
+        if self._uses_focus_map:
+            # Focus streams additionally keep the K selected views + the
+            # estimate engine's big padded operand per frame. Prefer the
+            # fused SWAR kernels when their (tail-extended, larger) operand
+            # fits; otherwise withhold `spans` so the smaller XLA sweep
+            # runs instead of letting the fused route OOM the chip.
+            from .ops import estimate_pallas
+
+            cfg = self.cfg
+            k = int(self._ids.shape[0])
+            rx, ry = self._radius
+            pxe = max(self._focus_pad[0], rx + 1)
+            pye = max(self._focus_pad[1], ry + 1)
+            sel_b = k * 3 * height * width
+            est_cb = estimate_pallas.slab_bytes_fn(
+                height, width, k, 3, cfg.focus_steps, self._radius,
+                self._spans, self._focus_pad[0], self._focus_pad[1],
+                exact_taps=cfg.exact_focus_taps,
+            )
+            fb = est_cb(height) if est_cb is not None else None
+            b = capacity.device_hbm_bytes()
+            b_eff = b - capacity._headroom(b)
+            if fb is not None and resident + sel_b + fb <= b_eff:
+                resident += sel_b + fb
+            else:
+                self._spans_eff = None
+                # XLA operand: edge-padded selected copy + one sweep temp
+                resident += 2 * sel_b + k * 3 * (height + 2 * pye) * (
+                    width + 2 * pxe
+                )
         capacity.check_capacity(
-            (self.prefetch + 1) * in_b + shift_b + out_b,
+            resident,
             f"Streaming {self.cfg.view_count} views per {width}x{height} "
             f"frame from {g} images (prefetch={self.prefetch})",
         )
@@ -180,7 +212,7 @@ class StreamingRenderer:
                 self._ids, method=method_key, radius=self._radius,
                 filter_radius=self._filter_radius, steps=cfg.focus_steps,
                 pad=self._focus_pad, exact_taps=cfg.exact_focus_taps,
-                spread=self._spread, spans=self._spans,
+                spread=self._spread, spans=self._spans_eff,
             )
         if self._use_pallas:
             px, py = self._bound

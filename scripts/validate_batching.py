@@ -33,7 +33,7 @@ from lfinterpolator_tpu.core import capacity, geometry
 from lfinterpolator_tpu.core.config import RenderConfig
 from lfinterpolator_tpu.io.loader import LightField
 from lfinterpolator_tpu.models import pipeline
-from lfinterpolator_tpu.ops import allfocus_pallas
+from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
 from lfinterpolator_tpu.ops import focus as focus_ops
 
 FOCUS, FRANGE = 0.1, 0.2
@@ -43,7 +43,7 @@ def _traj(cols, rows):
     return "0,0," + f"{cols - 1},{rows - 1}"
 
 
-def _plan_inputs(lf, cfg, traj):
+def _plan_inputs(lf, cfg, traj, k):
     se = geometry.parse_trajectory(traj, lf.cols_rows)
     center = geometry.trajectory_center(se)
     offsets = geometry.compute_offsets(
@@ -56,16 +56,24 @@ def _plan_inputs(lf, cfg, traj):
         offsets, FOCUS, FRANGE, radius, lf.height, lf.width
     )
     spread = allfocus_pallas.spread_bound(offsets, FOCUS, FRANGE)
+    spans = estimate_pallas.chunk_spans(
+        offsets, FOCUS, FRANGE, cfg.focus_steps, 4
+    )
     mk = "TEN" if cfg.method in ("TEN", "TEN_WM") else "STD"
     fused = pipeline.allfocus_uses_fused_blend(
         mk, lf.height, lf.width, spread
     )
-    return pad[0], pad[1], fused
+    # same est_fused_bytes callable api.interpolate plans with
+    est_cb = estimate_pallas.slab_bytes_fn(
+        lf.height, lf.width, k, 3, cfg.focus_steps, radius, spans,
+        pad[0], pad[1], exact_taps=cfg.exact_focus_taps,
+    )
+    return pad[0], pad[1], fused, est_cb
 
 
 def _find_budget(lf, cfg, v, k, traj, pred, divisor=4000):
-    px, py, fused = _plan_inputs(lf, cfg, traj)
-    kw = dict(px=px, py=py, fused_blend=fused)
+    px, py, fused, est_cb = _plan_inputs(lf, cfg, traj, k)
+    kw = dict(px=px, py=py, fused_blend=fused, est_fused_bytes=est_cb)
     g = lf.grid_size
     full = capacity.plan_allfocus_render(
         g, k, 3, lf.height, lf.width, v, budget=1 << 40, **kw
@@ -165,7 +173,9 @@ def main() -> int:
             ("rowblk", lambda p: p.row_block is not None
              and p.estimate_row_block is None),
             ("rowblk+est", lambda p: p.row_block is not None
-             and p.estimate_row_block is not None),
+             and p.estimate_row_block is not None and p.estimate_fused),
+            ("rowblk+est-xla", lambda p: p.row_block is not None
+             and p.estimate_row_block is not None and not p.estimate_fused),
             ("drop+est", lambda p: p.drop_images
              and p.estimate_row_block is not None),
         ]
@@ -181,7 +191,8 @@ def main() -> int:
             print(
                 f"[af {method}] {name}: vb={p.view_batch} "
                 f"drop={p.drop_images} rb={p.row_block} "
-                f"est_rb={p.estimate_row_block} {t:.2f}s "
+                f"est_rb={p.estimate_row_block} "
+                f"est_fused={p.estimate_fused} {t:.2f}s "
                 f"views_eq={ok_v} maps_eq={ok_m}", flush=True,
             )
             failures += 0 if (ok_v and ok_m) else 1

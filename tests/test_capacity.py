@@ -421,14 +421,112 @@ def test_view_batched_allfocus_row_blocked_estimate(rng, monkeypatch):
             except ValueError:
                 return
 
-    b, plan = _first(list(scan()), lambda p: p.estimate_row_block is not None)
-    assert plan.row_block is not None
+    plans = list(scan())
+    # The estimate's blocking is decided independently of the select's, so
+    # the first pressured regime may block ONLY the estimate (full-frame
+    # select, batched blend). The combined select+estimate row-block regime
+    # needs select >> estimate residents (g >> k) and is covered by
+    # test_view_batched_allfocus_fused_slab_estimate.
+    b, plan = _first(plans, lambda p: p.estimate_row_block is not None)
     monkeypatch.setenv("LFI_HBM_BYTES", str(b))
     out = Interpolator(lf, config=cfg, progress=False).interpolate(
         "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
     )
     np.testing.assert_array_equal(out.maps, ref.maps)
     np.testing.assert_array_equal(out.views, ref.views)
+
+    # ... and the deepest-pressure feasible plan still renders exactly.
+    b2, _ = plans[-1]
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b2))
+    out2 = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+    )
+    np.testing.assert_array_equal(out2.maps, ref.maps)
+    np.testing.assert_array_equal(out2.views, ref.views)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_view_batched_allfocus_fused_slab_estimate(rng, monkeypatch, exact):
+    """The plan prefers the FUSED row-blocked estimate (estimate_fused=True
+    with estimate_row_block set) when the geometry supports it, and the
+    render -- the fused kernels' slab mode via estimate_focus_rows -- stays
+    byte-identical to the unpressured run. The fixture needs w >= 256 (the
+    fused estimate's lane minimum) and h >> 2py (each block pays the full
+    2py pad overhang, so blocking only shrinks the operand -- and the
+    fused-rb budget window only exists -- on tall frames)."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    cols = rows = 3
+    h, w, v, k = 512, 256, 4, 4
+    images = rng.integers(0, 256, size=(cols * rows, h, w, 4), dtype=np.uint8)
+    lf = LightField(images=images, cols=cols, rows=rows)
+    cfg = RenderConfig(
+        method="STD", view_count=v, focus_map_views=k, focus_steps=8,
+        exact_focus_taps=exact,
+    )
+    ref = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+    )
+    px, py, fused = _allfocus_plan_inputs(lf, cfg, traj="0,0,2,2")
+
+    from lfinterpolator_tpu.core import geometry
+    from lfinterpolator_tpu.ops import estimate_pallas
+
+    se = geometry.parse_trajectory("0,0,2,2", lf.cols_rows)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, cfg.aspect, geometry.trajectory_center(se)
+    )
+    radius = geometry.block_radius(w, h, cfg.pixel_size_factor)
+    spans = estimate_pallas.chunk_spans(
+        offsets, 0.1, 0.2, cfg.focus_steps, 4
+    )
+    est_cb = estimate_pallas.slab_bytes_fn(
+        h, w, k, C, cfg.focus_steps, radius, spans, px, py,
+        exact_taps=exact,
+    )
+    assert est_cb is not None and est_cb(h) is not None
+
+    def scan():
+        kw = dict(
+            px=px, py=py, fused_blend=fused, est_fused_bytes=est_cb
+        )
+        full = capacity.plan_allfocus_render(
+            cols * rows, k, C, h, w, v, budget=1 << 40, **kw
+        ).bytes_unbatched
+        for b in range(2 * full, 0, -max(1, full // 4000)):
+            try:
+                yield b, capacity.plan_allfocus_render(
+                    cols * rows, k, C, h, w, v, budget=b, **kw
+                )
+            except ValueError:
+                return
+
+    b, plan = _first(
+        list(scan()),
+        lambda p: p.estimate_row_block is not None and p.estimate_fused,
+    )
+    monkeypatch.setenv("LFI_HBM_BYTES", str(b))
+    out = Interpolator(lf, config=cfg, progress=False).interpolate(
+        "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+    )
+    np.testing.assert_array_equal(out.maps, ref.maps)
+    np.testing.assert_array_equal(out.views, ref.views)
+
+    # tighter: a budget where even the fused slab blocks no longer fit at
+    # any size must fall back to the XLA engine (estimate_fused=False) --
+    # and still render byte-identically
+    plans = list(scan())
+    got = [
+        (bb, p) for bb, p in plans
+        if p.estimate_row_block is not None and not p.estimate_fused
+    ]
+    if got:  # the XLA-only window can be empty on some geometries
+        b2, _ = got[0]
+        monkeypatch.setenv("LFI_HBM_BYTES", str(b2))
+        out2 = Interpolator(lf, config=cfg, progress=False).interpolate(
+            "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
+        )
+        np.testing.assert_array_equal(out2.maps, ref.maps)
+        np.testing.assert_array_equal(out2.views, ref.views)
 
 
 def test_allfocus_infeasible_raises(lf, monkeypatch):

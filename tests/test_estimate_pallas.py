@@ -238,6 +238,52 @@ def test_small_user_pad_matches_xla(rng):
         )
 
 
+@pytest.mark.parametrize("exact", [True, False])
+def test_fused_slab_blocks_match_xla(rng, exact):
+    """Slab mode: estimate_focus_rows(spans=...) routes each row block
+    through the fused kernels' slab path (only the dead DMA tail is
+    appended to the block's pad window) and the assembled map is
+    bit-identical to the full XLA estimate. Unaligned h, rb not dividing
+    h, and blocks clipped at both image edges are all exercised."""
+    from unittest import mock
+
+    from lfinterpolator_tpu.models import pipeline
+
+    cols = rows = 4
+    h, w, K, steps = 52, 300, 8, 8
+    focus, frange, radius = 0.1, 0.4, (4, 2)
+    offsets, pad, sel_img, sel_off = _setup(
+        rng, cols, rows, h, w, K, focus, frange, radius
+    )
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    want = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), radius,
+        steps=steps, pad=pad, exact_taps=exact,
+    )
+    pye = max(pad[1], radius[1] + 1)
+    fn_name = "estimate_fused" if exact else "estimate_fast_fused"
+    blks = []
+    with mock.patch.object(
+        ep, fn_name, wraps=getattr(ep, fn_name)
+    ) as spy:
+        for r0 in range(0, h, 24):
+            rc = min(24, h - r0)
+            blks.append(pipeline.estimate_focus_rows(
+                sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+                r0, radius=radius, steps=steps, pad=pad, exact_taps=exact,
+                rc=rc, top=max(0, pye - r0), bot=max(0, r0 + rc + pye - h),
+                spans=spans,
+            ))
+        # every TRACE went through the fused slab path (jit caching makes
+        # the call count < the block count when static shapes repeat)
+        assert spy.call_count >= 1
+        assert all(
+            kw.get("slab") is not None for _, kw in spy.call_args_list
+        )
+    got = np.concatenate([np.asarray(b) for b in blks], axis=0)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
 def test_sel_mode_bitwise_matches_where(rng):
     """The recorded-experiment bitwise select path stays equivalent."""
     offsets, pad, sel_img, sel_off = _setup(
