@@ -111,7 +111,15 @@ def _cfg_candidates(
     3-4x the DMA issue count); then LARGE sc (small sc refetches the K
     windows steps/sc times per band/channel -- a 2-32x multiplier, far
     bigger than lane-chunk overhead); then wide lane chunks (less wl/wco
-    overhead); then tall bands."""
+    overhead); then tall bands.
+
+    tb need NOT divide h8: the grid runs ceil(h8/tb) bands and _run slices
+    the <tb overshoot rows off (every op is clamp-windowed, so the extra
+    rows just compute garbage). The kernel is VPU-bound, so overshoot rows
+    cost real compute: accept at most h8/8 (12.5%) of them. Without this,
+    awkward row-block heights (272 = 16x17) admit only tiny divisors and
+    the window-per-band amplification explodes (measured 612 ms vs the
+    full frame's 440 at 8x8/1080p/span-120: tb=16 gives a 12x tbw/tb)."""
     for amp_cap in (4, 10**9):
         for sc in (4, 2, 1):
             if steps % sc:
@@ -122,7 +130,8 @@ def _cfg_candidates(
                 if wl > 8 * 3968:  # lane-roll temporaries would blow VMEM
                     continue
                 for tb in range(tb_max, 7, -8):
-                    if h8 % tb:
+                    waste = -(-h8 // tb) * tb - h8
+                    if waste * 8 > h8:
                         continue
                     tbw = _align(tb + span_y + 2 * ry + 16, 32)
                     if tbw > amp_cap * tb:
@@ -743,14 +752,14 @@ def slab_dims(
     if w < 256 or _align(h_out, 8) < 8 or k < 1 or steps < 2:
         return None
     pick = _pick_cfg if exact_taps else _pick_cfg_fast
-    cfg = pick(
-        _align(h_out, 8), _align(w, 128), k, steps, ry, rx, span_y, span_x
-    )
+    h8 = _align(h_out, 8)
+    cfg = pick(h8, _align(w, 128), k, steps, ry, rx, span_y, span_x)
     if cfg is None:
         return None
-    tbw, wl = cfg[1], cfg[2]
+    tb, tbw, wl = cfg[0], cfg[1], cfg[2]
+    h8e = -(-h8 // tb) * tb  # _run's band overshoot extends hp
     return (
-        _align(h_out + 2 * pye, 8) + tbw,
+        _align(h_out + 2 * pye, 8) + tbw + (h8e - h8),
         _align(w + 2 * pxe, 128) + wl,
     )
 
@@ -859,7 +868,8 @@ def _run(
     if cfg is None:
         raise ValueError("geometry unsupported; check supports() first")
     tb, tbw, wl, cc, sc, wco = cfg
-    nb = h8 // tb
+    nb = -(-h8 // tb)  # tb need not divide h8 (see _cfg_candidates)
+    h8e = nb * tb  # rows [h8, h8e) compute garbage; sliced off below
     n_wc = w128 // wco
 
     focus = jnp.asarray(focus, jnp.float32)
@@ -892,16 +902,20 @@ def _run(
     # a dead tail below/right that is fetched but never selected
     mny = nys.reshape(cc, sc, k).min(axis=1)  # [CC, K]
     mnx = nxs.reshape(cc, sc, k).min(axis=1)  # [CC, K]
+    # hp carries the overshoot rows (h8e - h8) so the base8 clip bound
+    # below, hp - tbw - (nb-1)*tb, reduces to the same align(.+2py,8)
+    # - h8 + tb expression as the tb | h8 case -- overshoot windows read
+    # deeper into the (replicated-edge) tail, never out of bounds
     if slab is None:
         h, w_in = selected.shape[2], selected.shape[3]
-        hp = _align(h + 2 * py, 8) + tbw
+        hp = _align(h + 2 * py, 8) + tbw + (h8e - h8)
         wp = _align(w_in + 2 * px, 128) + wl
         rs_win = jnp.asarray(row_start, jnp.int32)
         rs_coord = rs_win
         # edge-padded stack with clamp semantics + dead alignment tail
         padded = _edge_pad(selected, px, py, hp, wp)
     else:
-        hp = _align(h_out + 2 * py, 8) + tbw
+        hp = _align(h_out + 2 * py, 8) + tbw + (h8e - h8)
         wp = _align(w + 2 * px, 128) + wl
         rs_win = jnp.int32(0)
         rs_coord = jnp.asarray(coord_row0, jnp.int32)
@@ -938,7 +952,7 @@ def _run(
             pltpu.VMEM((tb // 4, wl), jnp.uint32),
             pltpu.SemaphoreType.DMA((k,)),
         ]
-        flops = 60 * steps * k * c * h8 * n_wc * wl // 4
+        flops = 60 * steps * k * c * h8e * n_wc * wl // 4
     else:
         scratch = [
             pltpu.VMEM((k, tbw, wl), jnp.uint8),
@@ -948,7 +962,7 @@ def _run(
             pltpu.VMEM((tb // 4, wl), jnp.uint32),
             pltpu.SemaphoreType.DMA((k,)),
         ]
-        flops = 300 * steps * k * c * h8 * n_wc * wl // 4
+        flops = 300 * steps * k * c * h8e * n_wc * wl // 4
     return pl.pallas_call(
         kernel,
         grid=(nb, n_wc, cc, c, sc),
@@ -958,7 +972,7 @@ def _run(
             (tb, wco), lambda b, wcg, ccg, cg, sg: (b, wcg),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((h8, w128), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((h8e, w128), jnp.uint8),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -972,7 +986,7 @@ def _run(
         nys, nxs, base8, lst, lvl,
         rs2,
         padded,
-    )
+    )[:h8]
 
 
 @functools.partial(

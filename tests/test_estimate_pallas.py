@@ -79,6 +79,25 @@ def test_fused_estimate_unaligned_sizes(rng):
     _compare(rng, 4, 4, 52, 300, 8, 8, 0.1, 0.4, (4, 2))
 
 
+def _assert_overshoot_cfg(rng, h, exact):
+    """Guard that h really picks a band height NOT dividing h8, so the
+    overshoot-row slicing in _run is exercised (not just the tb | h8
+    fast path)."""
+    offsets, pad, _, _ = _setup(rng, 4, 4, h, 384, 8, 0.1, 0.4, (4, 2))
+    spans = ep.chunk_spans(offsets, 0.1, 0.4, 8, 4)
+    pick = ep._pick_cfg if exact else ep._pick_cfg_fast
+    h8 = -(-h // 8) * 8
+    cfg = pick(h8, 384, 8, 8, 4, 2, spans[0], spans[1])
+    assert cfg is not None and h8 % cfg[0], (h8, cfg)
+
+
+def test_fused_estimate_overshoot_bands(rng):
+    # 136 = 8*17: every large tb overshoots; the picker accepts <= h8/8
+    # waste rows and _run slices them off (see _cfg_candidates)
+    _assert_overshoot_cfg(rng, 136, exact=True)
+    _compare(rng, 4, 4, 136, 384, 8, 8, 0.1, 0.4, (4, 2))
+
+
 def test_estimate_focus_map_routes_to_fused(rng, monkeypatch):
     """estimate_focus_map(spans=...) takes the fused kernel (spied) and
     returns the identical map."""
@@ -185,6 +204,11 @@ def test_fast_fused_unaligned_sizes(rng):
     _compare_fast(rng, 4, 4, 52, 300, 8, 8, 0.1, 0.4, (4, 2))
 
 
+def test_fast_fused_overshoot_bands(rng):
+    _assert_overshoot_cfg(rng, 136, exact=False)
+    _compare_fast(rng, 4, 4, 136, 384, 8, 8, 0.1, 0.4, (4, 2))
+
+
 def test_estimate_focus_map_routes_fast_to_fused(rng):
     """estimate_focus_map(exact_taps=False, spans=...) takes the fast fused
     kernel (spied) and returns the identical map."""
@@ -239,18 +263,21 @@ def test_small_user_pad_matches_xla(rng):
 
 
 @pytest.mark.parametrize("exact", [True, False])
-def test_fused_slab_blocks_match_xla(rng, exact):
+@pytest.mark.parametrize("h,rb", [(52, 24), (136, 88)])
+def test_fused_slab_blocks_match_xla(rng, exact, h, rb):
     """Slab mode: estimate_focus_rows(spans=...) routes each row block
     through the fused kernels' slab path (only the dead DMA tail is
     appended to the block's pad window) and the assembled map is
     bit-identical to the full XLA estimate. Unaligned h, rb not dividing
-    h, and blocks clipped at both image edges are all exercised."""
+    h, blocks clipped at both image edges, and (h=136/rb=88) band heights
+    that overshoot the block (slab hp carries the extra rows) are all
+    exercised."""
     from unittest import mock
 
     from lfinterpolator_tpu.models import pipeline
 
     cols = rows = 4
-    h, w, K, steps = 52, 300, 8, 8
+    w, K, steps = 300, 8, 8
     focus, frange, radius = 0.1, 0.4, (4, 2)
     offsets, pad, sel_img, sel_off = _setup(
         rng, cols, rows, h, w, K, focus, frange, radius
@@ -266,8 +293,8 @@ def test_fused_slab_blocks_match_xla(rng, exact):
     with mock.patch.object(
         ep, fn_name, wraps=getattr(ep, fn_name)
     ) as spy:
-        for r0 in range(0, h, 24):
-            rc = min(24, h - r0)
+        for r0 in range(0, h, rb):
+            rc = min(rb, h - r0)
             blks.append(pipeline.estimate_focus_rows(
                 sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
                 r0, radius=radius, steps=steps, pad=pad, exact_taps=exact,
