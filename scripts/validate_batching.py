@@ -40,7 +40,9 @@ FOCUS, FRANGE = 0.1, 0.2
 
 
 def _traj(cols, rows):
-    return "0,0," + f"{cols - 1},{rows - 1}"
+    # trajectories are NORMALIZED: parse_trajectory scales by (cols-1, rows-1)
+    del cols, rows
+    return "0,0,1,1"
 
 
 def _plan_inputs(lf, cfg, traj, k):
