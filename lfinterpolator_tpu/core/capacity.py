@@ -199,9 +199,11 @@ def plan_allfocus_render(
       estimate: in [G, C, H, W] + selected views [K, C, H, W] + maps
                 [2, H, W] + the engine's big operand. Fused SWAR kernels
                 (`est_fused_bytes` given -- estimate_pallas.slab_bytes_fn,
-                exact per-geometry arithmetic incl. the dead DMA tail):
-                the tail-extended edge pad, or per row block the slab +
-                its tail-extended copy. XLA sweep: the edge-padded copy
+                exact per-geometry PEAK arithmetic incl. the dead DMA tail
+                AND the pad-build row-concat intermediate that coexists
+                with the operand during the column concat): the
+                tail-extended edge pad, or per row block the slab + its
+                tail-extended copy. XLA sweep: the edge-padded copy
                 [K, C, H+2py, W+2px] + one selected-scale sweep temporary.
       select:   in + the per-pixel-focus selected stack, built once
                 (weight-independent). Fused kernel: tiled input copy +
@@ -298,6 +300,18 @@ def plan_allfocus_render(
         if vb >= 1:
             return FixedRenderPlan(
                 vb, False, b_eff, total,
+                estimate_row_block=est_rb, estimate_fused=est_fused,
+            )
+        if total <= b_eff:
+            # est_rb is set (else the unbatched return above fired) but two
+            # batch outputs in flight don't fit. The whole blend DOES fit
+            # as ONE batch of all views (a single batch is never
+            # double-buffered), so a row-blocked estimate needs no real
+            # view batching -- without this arm, v=1 renders with
+            # b_eff - keep_b in [ov, 2*ov) would spuriously fall through
+            # to the drop/row-block arms or raise infeasible.
+            return FixedRenderPlan(
+                v, False, b_eff, total,
                 estimate_row_block=est_rb, estimate_fused=est_fused,
             )
 

@@ -19,9 +19,10 @@ is factored into two bandwidth-shaped stages:
 
 Why flat: pixel tiles shaped [G, TH, TW] force sublane-strided row reads for
 the per-row matmuls (measured 3.4x slower); the [G, chunk] view keeps every
-VPU/MXU access contiguous and the kernel runs at the chip's effective copy
-bandwidth (~343 GB/s measured on v5e through this tunnel), i.e. it is
-HBM-bound, not compute-bound.
+VPU/MXU access contiguous and the kernel runs near the chip's effective copy
+bandwidth (~668 GB/s measured on v5e, 82% of the 819 GB/s spec -- see
+BASELINE.md; an earlier "343 GB/s" figure was a relay round-trip artifact),
+i.e. it is HBM-bound, not compute-bound.
 
 Precision: pixels are exact in f32; weights stay f32 and the MXU contraction
 accumulates in f32 (preferred_element_type) -- at worst 1 LSB from the

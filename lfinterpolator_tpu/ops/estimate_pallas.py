@@ -161,18 +161,35 @@ def _pick_cfg(
     return None
 
 
+def _cfg_for(
+    h_out: int, w: int, k: int, steps: int, radius: tuple[int, int],
+    span_y: int, span_x: int, *, exact_taps: bool = True,
+):
+    """THE availability gate + config pick, shared by every consumer.
+
+    Returns the (TB, TBW, WL, CC, SC, WCO) config the kernel will run with
+    for this geometry, or None when the fused engine cannot run it.
+    `supports`/`supports_fast` (runtime gates), `slab_dims` (capacity
+    arithmetic), and `_run` (the engine itself) all derive from this one
+    predicate, so the planner can never size an engine the runtime
+    rejects -- or vice versa. radius is the (rx, ry) pair from
+    geometry.block_radius; the pickers take (ry, rx)."""
+    h8 = _align(h_out, 8)
+    if w < 256 or h8 < 8 or k < 1 or steps < 2:
+        return None
+    pick = _pick_cfg if exact_taps else _pick_cfg_fast
+    return pick(
+        h8, _align(w, 128), k, steps, int(radius[1]), int(radius[0]),
+        span_y, span_x,
+    )
+
+
 def supports(
     h_out: int, w: int, k: int, steps: int, radius: tuple[int, int],
     span_y: int, span_x: int,
 ) -> bool:
-    h8 = _align(h_out, 8)
-    if w < 256 or h8 < 8 or k < 1 or steps < 2:
-        return False
     return (
-        _pick_cfg(
-            h8, _align(w, 128), k, steps, radius[1], radius[0],
-            span_y, span_x,
-        )
+        _cfg_for(h_out, w, k, steps, radius, span_y, span_x, exact_taps=True)
         is not None
     )
 
@@ -490,14 +507,8 @@ def supports_fast(
     h_out: int, w: int, k: int, steps: int, radius: tuple[int, int],
     span_y: int, span_x: int,
 ) -> bool:
-    h8 = _align(h_out, 8)
-    if w < 256 or h8 < 8 or k < 1 or steps < 2:
-        return False
     return (
-        _pick_cfg_fast(
-            h8, _align(w, 128), k, steps, radius[1], radius[0],
-            span_y, span_x,
-        )
+        _cfg_for(h_out, w, k, steps, radius, span_y, span_x, exact_taps=False)
         is not None
     )
 
@@ -744,16 +755,15 @@ def slab_dims(
     """(HP, WP) of the fused kernels' padded operand for an h_out-row run
     (full frame or one row block), or None when no config fits. px/py may
     be the raw shift_pad_bound values; the kernels' effective floors are
-    applied here. Must match _run's derivation exactly."""
+    applied here. Gate + config come from _cfg_for, the same predicate
+    supports()/supports_fast() and _run use, so planner and engine agree
+    by construction."""
     rx, ry = int(radius[0]), int(radius[1])
     pxe, pye = max(int(px), rx + 1), max(int(py), ry + 1)
-    # same short-circuit as supports()/supports_fast(): the planner must
-    # size the fused engine only for geometries the runtime gate accepts
-    if w < 256 or _align(h_out, 8) < 8 or k < 1 or steps < 2:
-        return None
-    pick = _pick_cfg if exact_taps else _pick_cfg_fast
     h8 = _align(h_out, 8)
-    cfg = pick(h8, _align(w, 128), k, steps, ry, rx, span_y, span_x)
+    cfg = _cfg_for(
+        h_out, w, k, steps, radius, span_y, span_x, exact_taps=exact_taps
+    )
     if cfg is None:
         return None
     tb, tbw, wl = cfg[0], cfg[1], cfg[2]
@@ -769,19 +779,25 @@ def slab_extra_bytes(
     radius: tuple[int, int], span_y: int, span_x: int, px: int, py: int,
     exact_taps: bool = True,
 ) -> int | None:
-    """Host-side capacity arithmetic for the fused estimate's big resident:
-    the [K, C, HP, WP] padded operand of one rb-row run (the full frame
-    when rb >= h). Row blocks build it DIRECTLY from the raw selected
-    stack (pipeline.estimate_focus_rows -> window_slab), so exactly one
-    such buffer exists per block. Returns None when the geometry has no
-    fused config (the caller then plans the XLA engine)."""
+    """Host-side capacity arithmetic for the fused estimate's big buffers:
+    the PEAK of one rb-row run's operand build (the full frame when
+    rb >= h). The [K, C, HP, WP] padded operand is built in one
+    broadcast+concat pass (_edge_pad full-frame, window_slab per row
+    block); during the final column concat the row-concat intermediate
+    [K, C, HP, W] coexists with the output, so the true peak is
+    K*C*HP*(WP + W) -- counting only the operand once declared a plan
+    "fitting" whose real build OOMs the chip (which can wedge a tunneled
+    backend for hours). Row blocks build the operand DIRECTLY from the raw
+    selected stack (pipeline.estimate_focus_rows -> window_slab), so
+    exactly one such buffer exists per block. Returns None when the
+    geometry has no fused config (the caller then plans the XLA engine)."""
     dims = slab_dims(
         min(int(rb), h), w, k, steps, radius, span_y, span_x, px, py,
         exact_taps=exact_taps,
     )
     if dims is None:
         return None
-    return k * c * dims[0] * dims[1]
+    return k * c * dims[0] * (dims[1] + w)
 
 
 def window_slab(
@@ -862,8 +878,8 @@ def _run(
     rx, ry = int(radius[0]), int(radius[1])
     h8 = _align(h_out, 8)
     w128 = _align(w, 128)
-    cfg = (_pick_cfg_fast if fast else _pick_cfg)(
-        h8, w128, k, steps, ry, rx, span_y, span_x
+    cfg = _cfg_for(
+        h_out, w, k, steps, radius, span_y, span_x, exact_taps=not fast
     )
     if cfg is None:
         raise ValueError("geometry unsupported; check supports() first")

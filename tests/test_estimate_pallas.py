@@ -87,7 +87,9 @@ def _assert_overshoot_cfg(rng, h, exact):
     spans = ep.chunk_spans(offsets, 0.1, 0.4, 8, 4)
     pick = ep._pick_cfg if exact else ep._pick_cfg_fast
     h8 = -(-h // 8) * 8
-    cfg = pick(h8, 384, 8, 8, 4, 2, spans[0], spans[1])
+    # supports()/slab_dims pass (ry, rx) = (radius[1], radius[0]); the
+    # fixture radius is (4, 2), so ry=2, rx=4 here.
+    cfg = pick(h8, 384, 8, 8, 2, 4, spans[0], spans[1])
     assert cfg is not None and h8 % cfg[0], (h8, cfg)
 
 
@@ -96,6 +98,40 @@ def test_fused_estimate_overshoot_bands(rng):
     # waste rows and _run slices them off (see _cfg_candidates)
     _assert_overshoot_cfg(rng, 136, exact=True)
     _compare(rng, 4, 4, 136, 384, 8, 8, 0.1, 0.4, (4, 2))
+
+
+def test_support_gate_and_planner_agree():
+    """The runtime gates (supports/supports_fast) and the capacity
+    planner's sizing (slab_dims) must agree on availability for every
+    geometry -- all three derive from _cfg_for, and this pins the contract
+    across a sweep of supported, sub-minimum, and awkward shapes so a
+    future edit can't silently desynchronize the plan from the engine
+    that runs (round-3 advisor finding)."""
+    sweep = [
+        # (h, w, k, steps, radius, span_y, span_x)
+        (64, 384, 8, 8, (4, 2), 8, 8),
+        (136, 384, 8, 8, (4, 2), 8, 8),      # overshoot bands
+        (52, 300, 8, 8, (4, 2), 8, 8),       # unaligned
+        (1080, 1920, 32, 32, (20, 11), 16, 48),  # 1080p-scale
+        (2160, 3840, 32, 32, (39, 22), 32, 96),  # 4K-scale (lane-chunked)
+        (64, 200, 8, 8, (4, 2), 8, 8),       # w < 256: unsupported
+        (4, 384, 8, 8, (4, 2), 8, 8),        # supported (h8 == 8)
+        (64, 384, 0, 8, (4, 2), 8, 8),       # k < 1: unsupported
+        (64, 384, 8, 1, (4, 2), 8, 8),       # steps < 2: unsupported
+        (64, 384, 8, 8, (4, 2), 4096, 8),    # span blows VMEM
+    ]
+    for h, w, k, steps, radius, sy, sx in sweep:
+        for exact in (True, False):
+            gate = (ep.supports if exact else ep.supports_fast)(
+                h, w, k, steps, radius, sy, sx
+            )
+            dims = ep.slab_dims(
+                h, w, k, steps, radius, sy, sx, px=1, py=1,
+                exact_taps=exact,
+            )
+            assert (dims is not None) == gate, (
+                h, w, k, steps, radius, sy, sx, exact, gate, dims
+            )
 
 
 def test_estimate_focus_map_routes_to_fused(rng, monkeypatch):
