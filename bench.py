@@ -290,19 +290,43 @@ def bench_c3_fast():
 
 
 def bench_c4():
-    # headline blend + on-device 5x9 quilt assembly.
+    # 45-view 5x9 quilt serving (Looking Glass): ONE fused kernel pair --
+    # clamp-shift + blend straight into the quilt canvas (blend_quilt),
+    # never materializing the per-view stack. Falls back to the two-stage
+    # blend + Pallas canvas copy where the fused route is unsupported.
     cols = rows = 8
     h, w, v = 1080, 1920, 64
     _, wm, offsets, planar = _setup(cols, rows, h, w, v)
     runs = max(24, RUNS // 2)  # amortize the final-fetch round-trip
-    blend_step, _ = _fixed_step(planar, wm, offsets, h, w, runs=runs)
+    g = cols * rows
+    if quilt.supports_fused_render(h, w, g):
+        foci = [0.25 + 0.007 * i for i in range(runs + WARMUP + 1)]
+        fos = [jnp.asarray(geometry.focused_offsets(offsets, f)) for f in foci]
+        px, py = blend_pallas.shift_bound(offsets, (min(foci), max(foci)), h, w)
+        padded = jax.block_until_ready(
+            jax.jit(blend_pallas.pad_images, static_argnums=(1, 2))(
+                planar, px, py
+            )
+        )
+        weights = jnp.asarray(wm)
 
-    def step(i):
-        return quilt.assemble_quilt(blend_step(i), cols=5, rows=9)
+        def step(i):
+            return quilt.render_fixed_quilt_padded(
+                padded, weights, fos[i], cols=5, rows=9, h=h, w=w, px=px, py=py
+            )
+
+        label = "fused direct-to-canvas"
+    else:
+        blend_step, _ = _fixed_step(planar, wm, offsets, h, w, runs=runs)
+
+        def step(i):
+            return quilt.assemble_quilt(blend_step(i), cols=5, rows=9)
+
+        label = "blend + copy fallback"
 
     per = _throughput(step, runs)
     gps = 45 * h * w / per / 1e9
-    _emit(f"8x8-grid 1080p blend + 45-view quilt ({per*1000:.2f} ms)",
+    _emit(f"8x8-grid 1080p 45-view quilt, {label} ({per*1000:.2f} ms)",
           gps, "GP/s", gps / BASELINE_GPS)
 
 

@@ -300,6 +300,128 @@ def blend_tiled(
     )(w2, x4)
 
 
+def _quilt_fits_vmem(w128: int, g: int, n: int) -> bool:
+    """Per-band VMEM working set of the quilt blend: double-buffered u8
+    image band + double-buffered u8 canvas band + f32 extraction/accum
+    temporaries + the packed result word."""
+    per_lane = 16 * g + 16 * n + 8 * (2 * g) + 8 * (2 * n) + 128
+    return per_lane * w128 <= 12 * 1024 * 1024
+
+
+def _blend_quilt_kernel(w2_ref, x_ref, out_ref, *, cols, rows):
+    # Blend DIRECTLY into the quilt canvas: same single [2n, 2G] x
+    # [2G, W] matmul per byte plane as _blend_tiled_kernel (one stream of
+    # the band through the MXU for ALL views -- a per-view-matmul variant
+    # measured 12.2 ms vs 4.25 two-stage at the c4 config: 45x re-streams),
+    # then 45 static sub-stores place each view's packed [2, W] u32 rows at
+    # its tile position in the [1, rows, 8, cols*W] canvas band block. The
+    # canvas is laid out [C, rows, H8, cols*W] so one block spans every
+    # quilt row of a band; the final [C, rows*H8, cols*W] reshape merges
+    # two adjacent row-major dims at an 8-row boundary (free, no relayout).
+    g = x_ref.shape[0]
+    wq = x_ref.shape[3]  # full tile width (w128 -- no lane chunking:
+    #                      tile seams must land at block column offsets)
+    x = x_ref[:, 0, :, :].reshape(g * 8, wq)
+    p = pltpu.bitcast(x, jnp.uint32)  # [2G, wq]
+    w2 = w2_ref[:, :]  # [2n, 2G] = kron(W[:n], I_2)
+    ff = jnp.uint32(0xFF)
+    parts = []
+    for b in range(4):
+        byte = jax.lax.shift_right_logical(p, jnp.uint32(8 * b)) & ff
+        a = byte.astype(jnp.int32).astype(jnp.float32)
+        acc = jnp.dot(w2, a, preferred_element_type=jnp.float32)
+        q = (
+            jnp.clip(jnp.round(acc), 0, 255)
+            .astype(jnp.int32)
+            .astype(jnp.uint32)
+        )
+        parts.append(jax.lax.shift_left(q, jnp.uint32(8 * b)))
+    word = (parts[0] | parts[1]) | (parts[2] | parts[3])  # [2n, wq]
+    for r in range(rows):
+        for cl in range(cols):
+            v2 = 2 * (r * cols + cl)
+            out_ref[0, r, :, cl * wq : (cl + 1) * wq] = pltpu.bitcast(
+                word[v2 : v2 + 2], jnp.uint8
+            )
+
+
+def supports_quilt(
+    h: int, w: int, g: int, cols: int = 5, rows: int = 9
+) -> bool:
+    """Whether blend_quilt handles this geometry: tiles must butt exactly
+    (no 8/128 alignment padding inside the canvas) and the per-band
+    working set must fit VMEM."""
+    return (
+        is_available()
+        and h % 8 == 0
+        and w % 128 == 0
+        and w >= 128
+        and 2 * cols * rows <= 512  # packed weight rows stay one matmul
+        and _quilt_fits_vmem(_align(w, 128), g, cols * rows)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cols", "rows"))
+def blend_quilt(
+    x4: jnp.ndarray,  # [G, C, H8, W128] uint8 (a shift kernel's output)
+    weights: jnp.ndarray,  # [V, G] float32, V >= cols*rows
+    *,
+    cols: int = 5,
+    rows: int = 9,
+) -> jnp.ndarray:
+    """Blend + quilt assembly in ONE kernel -> [C, rows*H8, cols*W128] u8.
+
+    The quilt pipeline used to be blend_tiled (all 64 views, 2x H8*W128*C*V
+    bytes of HBM traffic) followed by a separate canvas copy (2x more for
+    45 of them); for a quilt-only render that is ~2.2x the traffic actually
+    needed. Here each view's blended band is written straight to its canvas
+    position (tile order = montage order: row-major, top-left first, view
+    i -> tile i), so the canvas is produced for (G + cols*rows) * C*H8*W128
+    bytes total and the intermediate [V, C, H8, W128] stack never exists.
+
+    Requires exact tile alignment (h % 8 == 0, w % 128 == 0, e.g. the
+    reference's 1080x1920 tiles -- scripts/viewsToQuilt.sh:2); gate with
+    supports_quilt. Numerics: same class as blend_tiled (<= 1 LSB from the
+    XLA oracle; bit-equal to blend_tiled per view in interpret mode)."""
+    g, c, h8, w128 = x4.shape
+    n = cols * rows
+    v = weights.shape[0]
+    if v < n:
+        raise ValueError(f"Quilt needs {n} views, got {v}")
+    if not _quilt_fits_vmem(w128, g, n):
+        raise ValueError("geometry unsupported; check supports_quilt first")
+    w2 = jnp.kron(weights[:n], jnp.eye(2, dtype=weights.dtype))  # [2n, 2G]
+    nb = h8 // 8
+    out = pl.pallas_call(
+        functools.partial(_blend_quilt_kernel, cols=cols, rows=rows),
+        grid=(c, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (2 * n, 2 * g), lambda ci, bi: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g, 1, 8, w128), lambda ci, bi: (0, ci, bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, 8, cols * w128), lambda ci, bi: (ci, 0, bi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (c, rows, h8, cols * w128), jnp.uint8
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * g * c * h8 * w128,
+            bytes_accessed=(g + n) * c * h8 * w128,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(w2, x4)
+    return out.reshape(c, rows * h8, cols * w128)
+
+
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "px", "py", "row_count")
 )

@@ -79,11 +79,48 @@ def _assemble_pallas(tiles, cols, rows, th, tw):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(tiles[:n])
+    )(tiles)
 
 
 def to_hwc(quilt_chw: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(quilt_chw, (1, 2, 0))
+
+
+def supports_fused_render(h: int, w: int, g: int) -> bool:
+    """Whether render_fixed_quilt_padded's fully-fused route handles this
+    geometry (shift kernel + direct-to-canvas blend)."""
+    from . import blend_pallas, shift_pallas
+
+    return blend_pallas.supports_quilt(h, w, g) and (
+        shift_pallas.supports_padded(h, w)
+    )
+
+
+@partial(jax.jit, static_argnames=("cols", "rows", "h", "w", "px", "py"))
+def render_fixed_quilt_padded(
+    padded: jnp.ndarray,  # [G, C, Hp, Wp] uint8 (from pad_images)
+    weights: jnp.ndarray,  # [V, G] float32, V >= cols*rows
+    focused_offsets: jnp.ndarray,  # [G, 2] int32
+    *,
+    cols: int = 5,
+    rows: int = 9,
+    h: int,
+    w: int,
+    px: int,
+    py: int,
+) -> jnp.ndarray:
+    """Quilt-ONLY fixed-focus render: clamp-shift + blend straight into the
+    canvas -> [C, rows*h, cols*w] uint8, never materializing the per-view
+    stack (reference flow: render views, then scripts/viewsToQuilt.sh
+    montages the PNGs -- here the montage is free and only cols*rows of
+    the 64 views are ever blended). Gate with supports_fused_render."""
+    from . import shift_pallas
+    from .blend_pallas import blend_quilt
+
+    x4 = shift_pallas.shift_padded_4d(
+        padded, focused_offsets, h=h, w=w, px=px, py=py
+    )
+    return blend_quilt(x4, weights, cols=cols, rows=rows)
 
 
 @partial(jax.jit, static_argnames=("cols", "rows", "tile_size"))
@@ -99,15 +136,17 @@ def assemble_quilt(
     n = cols * rows
     if v < n:
         raise ValueError(f"Quilt needs {n} views, got {v}")
-    tiles = views[:n]
     if tile_size is not None and tile_size != (h, w):
         th, tw = tile_size
         tiles = jax.image.resize(
-            tiles.astype(jnp.float32), (n, c, th, tw), method="bilinear"
+            views[:n].astype(jnp.float32), (n, c, th, tw), method="bilinear"
         )
         tiles = jnp.clip(jnp.round(tiles), 0, 255).astype(jnp.uint8)
     else:
+        # no [:n] slice: the Pallas copy's block indexing reads only the
+        # first n tiles anyway, and the slice would materialize a copy
         th, tw = h, w
+        tiles = views
     if (
         is_available()
         and th % 8 == 0

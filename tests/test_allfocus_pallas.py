@@ -158,6 +158,7 @@ def test_arbitrary_byte_map_256_levels_matches_xla(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.full
 def test_pipeline_std_ignores_spread(rng):
     """STD stays on the XLA 256-byte scan (the kernel measured slower for
     dense-byte filtered maps); spread= must be accepted and change nothing."""

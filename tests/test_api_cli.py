@@ -208,6 +208,7 @@ def test_interpolate_batch_matches_individual(scene_dir):
         np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
 
 
+@pytest.mark.full
 def test_interpolate_batch_allfocus_matches_individual(scene_dir, monkeypatch):
     """All-focus batch: same-center trajectories share one estimate + one
     per-pixel-focus select; every entry must equal its solo run byte for

@@ -1,6 +1,7 @@
 """Golden tests: pure-XLA blend paths vs the NumPy oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from lfinterpolator_tpu.core import geometry
@@ -335,6 +336,7 @@ def test_div_exact_matches_ieee(rng):
     )
 
 
+@pytest.mark.full
 def test_allfocus_selected_slab_blocks_match_full(rng):
     """select_allfocus_rows (row-slab mode: each block's pad window rebuilt
     from the raw stack) concatenates to exactly the full-stack select, for

@@ -228,6 +228,7 @@ def _scan_allfocus_plans(v=8, k=8, px=1, py=1, fused_blend=False):
 
 
 @pytest.mark.parametrize("method", ["TEN", "STD"])
+@pytest.mark.full
 def test_view_batched_allfocus_matches_unbatched(lf, monkeypatch, method):
     """All-focus under a tight budget estimates maps AND the per-pixel
     selected stack once, then batches the blend -- byte-identical views
@@ -294,6 +295,7 @@ def test_view_batched_interpolate_batch_allfocus(lf, monkeypatch):
         np.testing.assert_array_equal(o.views, r.views)
 
 
+@pytest.mark.full
 def test_view_batched_allfocus_fused(rng, monkeypatch):
     """The fused-kernel (TEN, >=128-lane) all-focus engine under a batched
     plan: select_allfocus returns the tiled x4 stack and blend_selected
@@ -366,6 +368,7 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("method", ["TEN", "STD"])
+@pytest.mark.full
 def test_view_batched_allfocus_row_blocked(lf, monkeypatch, method):
     """Budgets too tight for the full-stack select (its padded copy + scan
     carry) fall back to row-blocked selection: select_allfocus_rows rebuilds
@@ -392,6 +395,7 @@ def test_view_batched_allfocus_row_blocked(lf, monkeypatch, method):
     np.testing.assert_array_equal(out.views, ref.views)
 
 
+@pytest.mark.full
 def test_view_batched_allfocus_row_blocked_estimate(rng, monkeypatch):
     """Budgets too tight even for the estimate's full padded selected-views
     copy row-block the estimate as well (estimate_focus_rows pads per
@@ -446,6 +450,7 @@ def test_view_batched_allfocus_row_blocked_estimate(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.full
 def test_view_batched_allfocus_fused_slab_estimate(rng, monkeypatch, exact):
     """The plan prefers the FUSED row-blocked estimate (estimate_fused=True
     with estimate_row_block set) when the geometry supports it, and the

@@ -159,6 +159,7 @@ def test_estimate_focus_map_routes_to_fused(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(routed), np.asarray(plain))
 
 
+@pytest.mark.full
 def test_pipeline_all_focus_with_spans(rng, small_lf):
     """The full all-focus pipeline with spans matches the XLA-estimate run
     exactly (maps and views)."""
@@ -272,6 +273,7 @@ def test_estimate_focus_map_routes_fast_to_fused(rng):
     np.testing.assert_array_equal(np.asarray(routed), np.asarray(plain))
 
 
+@pytest.mark.full
 def test_small_user_pad_matches_xla(rng):
     """A user pad smaller than radius+1 gets the same floor the XLA padded
     branch applies, so the fused routes stay bit-identical instead of
@@ -300,6 +302,7 @@ def test_small_user_pad_matches_xla(rng):
 
 @pytest.mark.parametrize("exact", [True, False])
 @pytest.mark.parametrize("h,rb", [(52, 24), (136, 88)])
+@pytest.mark.full
 def test_fused_slab_blocks_match_xla(rng, exact, h, rb):
     """Slab mode: estimate_focus_rows(spans=...) routes each row block
     through the fused kernels' slab path (only the dead DMA tail is
@@ -363,6 +366,7 @@ def test_sel_mode_bitwise_matches_where(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.full
 def test_lane_chunked_grids_match_xla(rng, monkeypatch):
     """Forcing WCO < W128 (the 4K-fitting lane-chunk mode) stays
     bit-identical for both kernels, including the per-chunk window

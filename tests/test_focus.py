@@ -1,6 +1,7 @@
 """Golden tests: focal-stack focus estimation + filter vs the NumPy oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from lfinterpolator_tpu.core import geometry
@@ -181,6 +182,7 @@ def test_estimate_exact_requires_pad():
         )
 
 
+@pytest.mark.full
 def test_tap_dtype_variants_bit_identical(rng):
     """tap_dtype only changes the vector width XLA runs at; maps must be
     bit-identical across all choices (taps are 0..255 integers, exact in
@@ -214,6 +216,7 @@ def test_tap_dtype_variants_bit_identical(rng):
             np.testing.assert_array_equal(m, ref)
 
 
+@pytest.mark.full
 def test_estimate_focus_rows_blocks_match_full(rng):
     """pipeline.estimate_focus_rows (row-slab mode: each block's pad window
     rebuilt from the selected views) concatenates to exactly the full

@@ -60,7 +60,10 @@ def test_fixed_focus_random_config(seed, rng):
     assert diff.max() <= 1, f"seed={seed} cfg={(cols, rows, h, w, v, focus)}"
 
 
-@pytest.mark.parametrize("seed", CASES[:5])
+@pytest.mark.parametrize(
+    "seed",
+    [CASES[0]] + [pytest.param(s, marks=pytest.mark.full) for s in CASES[1:5]],
+)
 def test_all_focus_random_config(seed, rng):
     cols, rows, h, w, v, focus, effect, aspect, traj = _random_cfg(seed + 100)
     focus_range = abs(focus) + 0.1
@@ -204,7 +207,10 @@ def test_allfocus_kernel_random_config(seed, rng, monkeypatch):
     )
 
 
-@pytest.mark.parametrize("seed", CASES[:4])
+@pytest.mark.parametrize(
+    "seed",
+    [CASES[0]] + [pytest.param(s, marks=pytest.mark.full) for s in CASES[1:4]],
+)
 def test_estimate_kernels_random_config(seed, rng, monkeypatch):
     """Both fused estimate kernels (exact + fast tap rule) equal their XLA
     paths bit for bit on random supported geometries."""

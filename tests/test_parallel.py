@@ -89,6 +89,7 @@ def test_sharded_rejects_bad_row_split(devices):
         pmesh.render_fixed_sharded(m, imgs_d, w_d, jnp.asarray(fo))
 
 
+@pytest.mark.full
 def test_sharded_all_focus_matches_unsharded(devices, small_lf, monkeypatch):
     """Sharded pipeline == unsharded, with the fused SWAR estimate routed
     on both sides (interpret mode) when the geometry supports it."""
@@ -249,6 +250,7 @@ def test_interpolate_batch_with_mesh(devices, tmp_path, small_lf):
         np.testing.assert_array_equal(a.views, b.views)
 
 
+@pytest.mark.full
 def test_multihost_two_process_render():
     """Real 2-process jax.distributed run (4 virtual CPU devices each):
     initialize, shard a render across processes, and fetch through the

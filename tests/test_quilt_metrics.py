@@ -35,6 +35,60 @@ def test_quilt_too_few_views(rng):
         quilt.assemble_quilt(jnp.asarray(views), cols=5, rows=9)
 
 
+def test_blend_quilt_matches_blend_then_assemble(rng, monkeypatch):
+    """The fused direct-to-canvas quilt blend equals blend_tiled followed
+    by the copy assembly bit for bit (same K ordering per view)."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    from lfinterpolator_tpu.ops import blend_pallas as bp
+
+    g, c, h8, w128 = 9, 3, 16, 256
+    cols, rows = 2, 3
+    x4 = jnp.asarray(rng.integers(0, 256, (g, c, h8, w128), dtype=np.uint8))
+    wm = rng.random((8, g)).astype(np.float32)
+    weights = jnp.asarray(wm / wm.sum(axis=1, keepdims=True))
+    assert bp.supports_quilt(h8, w128, g)
+    got = np.asarray(bp.blend_quilt(x4, weights, cols=cols, rows=rows))
+    assert got.shape == (c, rows * h8, cols * w128)
+    want = np.asarray(
+        quilt.assemble_quilt(bp.blend_tiled(x4, weights), cols=cols, rows=rows)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_render_fixed_quilt_padded_matches_two_stage(rng, monkeypatch):
+    """Quilt-only fused render (shift + direct-to-canvas blend) equals the
+    render-views-then-assemble route exactly."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    from lfinterpolator_tpu.ops import blend_pallas as bp
+
+    g, c, h, w = 9, 3, 32, 256
+    cols, rows = 2, 2
+    px, py = 4, 4
+    images = jnp.asarray(rng.integers(0, 256, (g, c, h, w), dtype=np.uint8))
+    padded = bp.pad_images(images, px, py)
+    fo = jnp.asarray(
+        rng.integers(-3, 4, size=(g, 2)).astype(np.int32)
+    )
+    wm = rng.random((cols * rows, g)).astype(np.float32)
+    weights = jnp.asarray(wm / wm.sum(axis=1, keepdims=True))
+    assert quilt.supports_fused_render(h, w, g)
+    got = np.asarray(
+        quilt.render_fixed_quilt_padded(
+            padded, weights, fo, cols=cols, rows=rows, h=h, w=w, px=px, py=py
+        )
+    )
+    views = bp.render_fixed_padded(padded, weights, fo, h=h, w=w, px=px, py=py)
+    want = np.asarray(quilt.assemble_quilt(views, cols=cols, rows=rows))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_supports_quilt_gates_unaligned():
+    from lfinterpolator_tpu.ops import blend_pallas as bp
+
+    assert not bp.supports_quilt(1079, 1920, 64)  # h % 8 != 0
+    assert not bp.supports_quilt(1080, 1921, 64)  # w % 128 != 0
+
+
 def test_psnr_identical_and_known(rng):
     a = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     assert metrics.psnr(a, a) == float("inf")

@@ -196,6 +196,7 @@ def test_stream_allfocus_matches_pipeline(rng):
         )
 
 
+@pytest.mark.full
 def test_stream_allfocus_ten_kernel(rng, monkeypatch):
     """The TEN all-focus stream (fused kernel in interpret mode) matches the
     non-streaming TEN pipeline."""
