@@ -211,7 +211,18 @@ class Interpolator:
     def _device_images(self) -> jnp.ndarray:
         """The device-resident planar stack, re-uploading if dropped."""
         if self.images is None:
-            planar = blend_xla.to_planar(jnp.asarray(self.lf.images))
+            if isinstance(self.lf.images, np.ndarray):
+                # Drop the alpha plane and transpose HOST-side: uploading
+                # the RGBA stack and slicing on device would make the
+                # device peak 1.33x the planar stack the capacity plan
+                # counted (an uncounted 8.5 GiB transient at 8K/64 views).
+                planar = jnp.asarray(
+                    np.ascontiguousarray(
+                        self.lf.images[..., :3].transpose(0, 3, 1, 2)
+                    )
+                )
+            else:
+                planar = blend_xla.to_planar(jnp.asarray(self.lf.images))
             if self.mesh is not None:
                 from .parallel import mesh as pmesh
 
@@ -383,6 +394,7 @@ class Interpolator:
                     radius=radius, filter_radius=filter_radius,
                     steps=cfg.focus_steps, pad=pad,
                     exact_taps=cfg.exact_focus_taps, spans=spans_eff,
+                    pyramid=(2, 1) if cfg.focus_pyramid else None,
                 )
             # The estimate's full padded selected-views copy does not fit:
             # estimate block by block (estimate_focus_rows rebuilds each
@@ -604,6 +616,10 @@ class Interpolator:
                         if self.mesh is not None or plan.estimate_fused
                         else None,
                     )
+                    if self.mesh is None and cfg.focus_pyramid:
+                        # approximate coarse-to-fine estimate (documented
+                        # flag; sharded renders row-block and fall back)
+                        kwargs["pyramid"] = (2, 1)
                     if self.mesh is not None:
                         from .parallel import mesh as pmesh
 
@@ -751,6 +767,7 @@ class Interpolator:
         method: str | None = None,
         effect: float | None = None,
         aspect: float | None = None,
+        center_tolerance: float = 0.0,
         progress: bool = True,
     ) -> list[RenderResult]:
         """Render several trajectories in few fused passes.
@@ -771,6 +788,16 @@ class Interpolator:
         select serve every trajectory in the group and each pays only its
         MXU contraction -- the estimate is >60% of a solo all-focus run.
         Each result carries the group's shared maps.
+
+        `center_tolerance` (grid-cell units, default 0 = off) additionally
+        merges groups whose centers lie within that distance of an earlier
+        trajectory's center: a serving workload with jittered trajectories
+        then pays ONE estimate per cluster instead of one per distinct
+        center. This is a documented approximation -- members of a merged
+        group render with the FIRST member's center (its offsets, focus
+        views, and maps), so their outputs can differ from a solo render;
+        sub-0.01 tolerances are visually lossless for typical grids while
+        collapsing jitter, but the default keeps exact per-center behavior.
         """
         cfg = dataclasses.replace(
             self.config,
@@ -790,8 +817,23 @@ class Interpolator:
         centers = np.stack([geometry.trajectory_center(se) for se in parsed])
         # Group indices by (quantized) center; one fused pass per group.
         groups: dict[tuple, list[int]] = {}
-        for i, c in enumerate(centers):
-            groups.setdefault(tuple(np.round(c / 1e-5).astype(np.int64)), []).append(i)
+        if center_tolerance > 0.0:
+            # Greedy clustering: join the first earlier center within the
+            # tolerance (Euclidean, grid-cell units), else found a group.
+            reps: list[np.ndarray] = []
+            for i, c in enumerate(centers):
+                for gi, rep in enumerate(reps):
+                    if float(np.hypot(*(c - rep))) <= center_tolerance:
+                        groups[(gi,)].append(i)
+                        break
+                else:
+                    groups[(len(reps),)] = [i]
+                    reps.append(c)
+        else:
+            for i, c in enumerate(centers):
+                groups.setdefault(
+                    tuple(np.round(c / 1e-5).astype(np.int64)), []
+                ).append(i)
 
         results: list[RenderResult | None] = [None] * len(trajectories)
         v = cfg.view_count
@@ -886,6 +928,8 @@ class Interpolator:
                     else:
                         # run the estimate engine the plan sized
                         kwargs["spans"] = spans if plan.estimate_fused else None
+                        if cfg.focus_pyramid:
+                            kwargs["pyramid"] = (2, 1)
                         views, maps = pipeline.render_all_focus(
                             self._device_images(), big, offsets_j,
                             jnp.float32(cfg.focus),

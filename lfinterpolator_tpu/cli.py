@@ -63,7 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--fast-focus", action="store_true",
         help="~5x faster focus estimation; may flip the chosen focus level "
-             "in a narrow band at per-view coordinate sign changes",
+             "in a narrow band at per-view coordinate sign changes "
+             "(44.3 dB vs the exact oracle on the structured bench scene)",
+    )
+    p.add_argument(
+        "--focus-pyramid", action="store_true",
+        help="coarse-to-fine focus estimation: full sweep at half "
+             "resolution, then a per-block-narrowed full-res refine. "
+             "Faster on depth-coherent scenes but approximate: pixels "
+             "whose best focus lies outside their block's coarse window "
+             "get the nearest scanned level (exact-taps path only; "
+             "unsupported routes fall back to the exact sweep)",
     )
     p.add_argument(
         "--reference-order", action="store_true",
@@ -123,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
             method=args.method, effect=args.effect, aspect=args.aspect,
             focus_map_views=args.focus_views,
             exact_focus_taps=not args.fast_focus,
+            focus_pyramid=args.focus_pyramid,
         )
         config.validate()
         geometry.parse_trajectory(args.trajectory, (2, 2))  # format check

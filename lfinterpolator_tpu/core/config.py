@@ -50,6 +50,15 @@ class RenderConfig:
     # band of possible argmin flips at coordinate sign changes for ~5x
     # faster estimation (see ops/focus.py).
     exact_focus_taps: bool = True
+    # Coarse-to-fine disparity pyramid (cli --focus-pyramid): full candidate
+    # sweep at half resolution, presence-predicated refine at full res
+    # (ops/estimate_pallas.estimate_fused_pyramid). APPROXIMATE: a pixel
+    # whose global best lies outside its block's [coarse min-1, max+1]
+    # window gets the best scanned candidate instead. Exact-taps fused
+    # route only; unsupported geometries/routes fall back to the exact
+    # sweep. No reference analogue (full sweep always,
+    # src/kernels.cu:239-258).
+    focus_pyramid: bool = False
     # (Kernel chunk sizes are chosen by ops.blend_pallas._auto_chunk from the
     # grid size, resolution, and view count -- they are a VMEM-budget
     # decision, not a user knob. Benchmark repetitions are the CLI -b /

@@ -64,18 +64,22 @@ def compute_focus_maps(
     pad: tuple[int, int] | None = None,
     exact_taps: bool = True,
     spans: tuple[int, int] | None = None,
+    pyramid: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Estimate + filter -> maps [2, H, W] uint8 (raw, filtered).
 
     The view-independent first half of render_all_focus, callable on its
     own so view-batched renders (api.py) estimate once and blend per
-    weight-row batch.
+    weight-row batch. `pyramid` = (scale, refine) requests the APPROXIMATE
+    coarse-to-fine estimate (cli --focus-pyramid; falls back to the exact
+    sweep when the geometry/route doesn't support it).
     """
     selected = images[focus_ids]  # [K, C, H, W]
     sel_offsets = offsets[focus_ids]
     map0 = focus_ops.estimate_focus_map(
         selected, sel_offsets, focus, focus_range, radius,
         steps=steps, pad=pad, exact_taps=exact_taps, spans=spans,
+        pyramid=pyramid,
     )
     map1 = focus_ops.filter_focus_map(map0, filter_radius)
     return jnp.stack([map0, map1])
@@ -398,6 +402,7 @@ def render_all_focus(
     exact_taps: bool = True,
     spread: int | None = None,
     spans: tuple[int, int] | None = None,
+    pyramid: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All-in-focus render: estimate -> filter -> per-pixel blend.
 
@@ -425,7 +430,7 @@ def render_all_focus(
     maps = compute_focus_maps(
         images, offsets, focus, focus_range, focus_ids,
         radius=radius, filter_radius=filter_radius, steps=steps, pad=pad,
-        exact_taps=exact_taps, spans=spans,
+        exact_taps=exact_taps, spans=spans, pyramid=pyramid,
     )
     views = blend_all_focus(
         images, weights, offsets, maps, focus, focus_range,

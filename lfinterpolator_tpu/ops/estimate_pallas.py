@@ -243,15 +243,18 @@ def _est_kernel(
     rs_ref,  # SMEM [2] i32 (global coord row start, window row start --
     #          equal in full mode; slab mode passes (r0, 0): trunc masks
     #          need GLOBAL rows, window/base math runs in slab-local rows)
-    pad_ref,  # HBM [K, C, HP, WP] u8 (edge-padded view stack or slab)
-    out_ref,  # VMEM block [TB, W128] u8
-    win,  # VMEM scratch [K, TBW, WL] u8
-    accs,  # VMEM scratch [18, TB/4, WL] u32 (min/max per cell)
-    chmax,  # VMEM scratch [9, SC, TB/4, WL] u32 (range max over channels)
-    bestc,  # VMEM scratch [4, TB/4, WL] i32 (best cost, byte-row planes)
-    bestb,  # VMEM scratch [TB/4, WL] u32 (best map byte, packed)
-    sems,  # DMA semaphores [K]
-    *,
+    *rest,  # [pres_ref] + pad_ref, out_ref, scratch refs (see below):
+    #         pres_ref -- SMEM [NB, WC, CC] i32 candidate-presence bitmask
+    #         (bit s_in: scan candidate cc*sc+s_in for this block), ONLY
+    #         when predicated=True (the focus-pyramid refine pass)
+    # pad_ref: HBM [K, C, HP, WP] u8 (edge-padded view stack or slab)
+    # out_ref: VMEM block [TB, W128] u8
+    # win: VMEM scratch [K, TBW, WL] u8
+    # accs: VMEM scratch [18, TB/4, WL] u32 (min/max per cell)
+    # chmax: VMEM scratch [9, SC, TB/4, WL] u32 (range max over channels)
+    # bestc: VMEM scratch [4, TB/4, WL] i32 (best cost, byte-row planes)
+    # bestb: VMEM scratch [TB/4, WL] u32 (best map byte, packed)
+    # sems: DMA semaphores [K]
     tb: int,
     tbw: int,
     wl: int,
@@ -263,7 +266,14 @@ def _est_kernel(
     wco: int,
     k_views: int,
     n_ch: int,
+    predicated: bool = False,
 ):
+    if predicated:
+        (pres_ref, pad_ref, out_ref, win, accs, chmax, bestc, bestb,
+         sems) = rest
+    else:
+        pres_ref = None
+        pad_ref, out_ref, win, accs, chmax, bestc, bestb, sems = rest
     band = pl.program_id(0)
     wc = pl.program_id(1)
     cc = pl.program_id(2)
@@ -271,6 +281,16 @@ def _est_kernel(
     s_in = pl.program_id(4)
     n_cc = pl.num_programs(2)
     s = cc * sc + s_in
+    if predicated:
+        # Whole-step presence predication (the focus-pyramid refine pass):
+        # skip the K window DMAs when no candidate of this chunk is present
+        # for this block, and skip a candidate's entire accumulate/argmin
+        # step when its bit is off. Per the measured predication rule
+        # (CLAUDE.md), pl.when only ever guards WHOLE steps here -- never
+        # per-block vector selects inside a step.
+        presm = pres_ref[band, wc, cc]
+        chunk_on = presm != 0
+        s_on = (jax.lax.shift_right_logical(presm, s_in) & 1) != 0
 
     nbp = tb // 4
     rall = tbw // 4
@@ -279,7 +299,7 @@ def _est_kernel(
     zero = jnp.uint32(0)
 
     # ---- window set DMA: once per (band, lane-chunk, cand-chunk, ch) ----
-    @pl.when(s_in == 0)
+    @pl.when((s_in == 0) & chunk_on if predicated else s_in == 0)
     def _():
         # the trailing //8*8 and //128*128 are no-ops on the already-aligned
         # table values but let Mosaic PROVE the DMA start alignment (SMEM
@@ -304,11 +324,6 @@ def _est_kernel(
             return 0
 
         lax.fori_loop(0, k_views, wait, 0)
-
-    # ---- init per-candidate minmax accumulators ----
-    for cell in range(9):
-        accs[2 * cell] = jnp.full((nbp, wl), allff, jnp.uint32)
-        accs[2 * cell + 1] = jnp.zeros((nbp, wl), jnp.uint32)
 
     # global center rows of this band's packed rows (byte i = row 4kk+i)
     ysp = jax.lax.broadcasted_iota(jnp.int32, (nbp, 1), 0) * 4 + (
@@ -424,52 +439,72 @@ def _est_kernel(
             acc_minmax(cell, tt[cell], tt[cell])
         return 0
 
-    lax.fori_loop(0, k_views, view_body, 0)
+    def accumulate():
+        # ---- init per-candidate minmax accumulators ----
+        for cell in range(9):
+            accs[2 * cell] = jnp.full((nbp, wl), allff, jnp.uint32)
+            accs[2 * cell + 1] = jnp.zeros((nbp, wl), jnp.uint32)
 
-    # ---- per-cell range, channel max ----
-    for cell in range(9):
-        rng = accs[2 * cell + 1] - accs[2 * cell]  # per-byte, borrow-free
-        if n_ch == 1:
-            chmax[cell, s_in] = rng
-        else:
-            @pl.when(c == 0)
-            def _(cell=cell, rng=rng):
+        lax.fori_loop(0, k_views, view_body, 0)
+
+        # ---- per-cell range, channel max ----
+        for cell in range(9):
+            rng = accs[2 * cell + 1] - accs[2 * cell]  # per-byte, borrow-free
+            if n_ch == 1:
                 chmax[cell, s_in] = rng
+            else:
+                @pl.when(c == 0)
+                def _(cell=cell, rng=rng):
+                    chmax[cell, s_in] = rng
 
-            @pl.when(c > 0)
-            def _(cell=cell, rng=rng):
-                cur = chmax[cell, s_in]
-                m, axb = _swar_ge(cur, rng)
-                chmax[cell, s_in] = rng ^ (axb & m)
+                @pl.when(c > 0)
+                def _(cell=cell, rng=rng):
+                    cur = chmax[cell, s_in]
+                    m, axb = _swar_ge(cur, rng)
+                    chmax[cell, s_in] = rng ^ (axb & m)
+
+    if predicated:
+        pl.when(s_on)(accumulate)
+    else:
+        accumulate()
 
     # ---- cost + strict-first argmin (last channel only) ----
     @pl.when(c == n_ch - 1)
     def _():
-        planes = []
-        for i in range(4):
-            shi = jnp.uint32(8 * i)
-            tot = jnp.zeros((nbp, wl), jnp.int32)
-            for cell in range(9):
-                tot = tot + (
-                    jax.lax.shift_right_logical(chmax[cell, s_in], shi) & ffu
-                ).astype(jnp.int32)
-            planes.append(tot)
-
+        # best-state init is presence-INDEPENDENT (a skipped s == 0 must
+        # still initialize what the final write reads)
         @pl.when(s == 0)
         def _():
             for i in range(4):
                 bestc[i] = jnp.full((nbp, wl), jnp.int32(2**30), jnp.int32)
             bestb[:, :] = jnp.zeros((nbp, wl), jnp.uint32)
 
-        byte_s = lvl_ref[s].astype(jnp.uint32) * jnp.uint32(0x01010101)
-        mupd = zero
-        for i in range(4):
-            better = planes[i] < bestc[i]
-            bestc[i] = jnp.where(better, planes[i], bestc[i])
-            mupd = mupd | jnp.where(
-                better, jnp.uint32(0xFF << (8 * i)), zero
-            )
-        bestb[:, :] = (mupd & byte_s) | (~mupd & bestb[:, :])
+        def argmin_update():
+            planes = []
+            for i in range(4):
+                shi = jnp.uint32(8 * i)
+                tot = jnp.zeros((nbp, wl), jnp.int32)
+                for cell in range(9):
+                    tot = tot + (
+                        jax.lax.shift_right_logical(chmax[cell, s_in], shi)
+                        & ffu
+                    ).astype(jnp.int32)
+                planes.append(tot)
+
+            byte_s = lvl_ref[s].astype(jnp.uint32) * jnp.uint32(0x01010101)
+            mupd = zero
+            for i in range(4):
+                better = planes[i] < bestc[i]
+                bestc[i] = jnp.where(better, planes[i], bestc[i])
+                mupd = mupd | jnp.where(
+                    better, jnp.uint32(0xFF << (8 * i)), zero
+                )
+            bestb[:, :] = (mupd & byte_s) | (~mupd & bestb[:, :])
+
+        if predicated:
+            pl.when(s_on)(argmin_update)
+        else:
+            argmin_update()
 
         @pl.when((cc == n_cc - 1) & (s_in == sc - 1))
         def _():
@@ -854,7 +889,7 @@ def _run(
     selected, sel_offsets, focus, focus_range, *,
     h_out: int, w: int, radius: tuple[int, int], steps: int,
     px: int, py: int, span_y: int, span_x: int,
-    row_start, slab, coord_row0, fast: bool,
+    row_start, slab, coord_row0, fast: bool, pres=None,
 ) -> jnp.ndarray:
     """Shared host preamble + pallas_call of both fused estimate kernels.
 
@@ -952,10 +987,22 @@ def _run(
     lst = _lst_table(mnx, px, rx, n_wc, wco, wp, wl)
     rs2 = jnp.stack([rs_coord, rs_win])
 
+    if pres is not None:
+        # focus-pyramid refine pass: per-(band, chunk, cand-chunk) presence
+        # bitmasks gate the window DMAs and candidate steps (exact kernel
+        # only -- the fast tap rule has its own cheap sibling)
+        if fast:
+            raise ValueError("presence predication is exact-taps only")
+        if pres.shape != (nb, n_wc, cc):
+            raise ValueError(
+                f"presence table must be [{nb}, {n_wc}, {cc}]; "
+                f"got {pres.shape}"
+            )
     kernel = functools.partial(
         _est_fast_kernel if fast else _est_kernel,
         tb=tb, tbw=tbw, wl=wl, sc=sc, ry=ry, rx=rx, px=px, py=py,
         wco=wco, k_views=k, n_ch=c,
+        **({} if fast else {"predicated": pres is not None}),
     )
     if fast:
         rc4 = (tb + 2 * ry) // 4 + 2
@@ -979,10 +1026,20 @@ def _run(
             pltpu.SemaphoreType.DMA((k,)),
         ]
         flops = 300 * steps * k * c * h8e * n_wc * wl // 4
+    n_smem = 8 if pres is None else 9
+    operands = [
+        fys.astype(jnp.float32),
+        fxs.astype(jnp.float32),
+        nys, nxs, base8, lst, lvl,
+        rs2,
+    ]
+    if pres is not None:
+        operands.append(pres.astype(jnp.int32))
+    operands.append(padded)
     return pl.pallas_call(
         kernel,
         grid=(nb, n_wc, cc, c, sc),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(
             (tb, wco), lambda b, wcg, ccg, cg, sg: (b, wcg),
@@ -996,13 +1053,7 @@ def _run(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(
-        fys.astype(jnp.float32),
-        fxs.astype(jnp.float32),
-        nys, nxs, base8, lst, lvl,
-        rs2,
-        padded,
-    )[:h8]
+    )(*operands)[:h8]
 
 
 @functools.partial(
@@ -1047,6 +1098,182 @@ def estimate_fused(
         h_out=h_out, w=w, radius=radius, steps=steps, px=px, py=py,
         span_y=span_y, span_x=span_x, row_start=row_start,
         slab=slab, coord_row0=coord_row0, fast=False,
+    )
+
+
+def _coarse_params(
+    radius: tuple[int, int], px: int, py: int, span_y: int, span_x: int,
+    scale: int,
+):
+    """Static kernel parameters of the coarse (1/scale-res) estimate pass,
+    derived from the full-res ones: scaled radius/pads/spans stay valid
+    upper bounds (shifts scale exactly with the offsets; pads only need to
+    strictly exceed shift+radius and are re-bucketed)."""
+    rx_c = max(1, int(radius[0]) // scale)
+    ry_c = max(1, int(radius[1]) // scale)
+    rnd64 = lambda v: -(-v // 64) * 64
+    rnd8 = lambda v: -(-v // 8) * 8
+    px_c = rnd64(max(-(-int(px) // scale), rx_c + 2))
+    py_c = rnd64(max(-(-int(py) // scale), ry_c + 2))
+    sy_c = rnd8(-(-int(span_y) // scale))
+    sx_c = rnd8(-(-int(span_x) // scale))
+    return (rx_c, ry_c), px_c, py_c, sy_c, sx_c
+
+
+def supports_pyramid(
+    h: int, w: int, k: int, steps: int, radius: tuple[int, int],
+    span_y: int, span_x: int, px: int, py: int, scale: int = 2,
+) -> bool:
+    """Whether the coarse-to-fine pyramid estimate handles this geometry:
+    both the full-res refine kernel and the 1/scale-res coarse kernel must
+    have fused configs (the coarse frame must still be >= 256 px wide)."""
+    if scale < 2 or steps < 2:
+        return False
+    if not supports(h, w, k, steps, radius, span_y, span_x):
+        return False
+    radius_c, _, _, sy_c, sx_c = _coarse_params(
+        radius, px, py, span_y, span_x, scale
+    )
+    hc, wc_ = -(-h // scale), -(-w // scale)
+    return supports(hc, wc_, k, steps, radius_c, sy_c, sx_c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "steps", "sc", "nb", "tb", "n_wc", "wco", "scale", "refine",
+    ),
+)
+def _presence_from_coarse(
+    coarse: jnp.ndarray,  # [HC, WC_] uint8 (coarse map bytes)
+    *,
+    steps: int,
+    sc: int,
+    nb: int,
+    tb: int,
+    n_wc: int,
+    wco: int,
+    scale: int,
+    refine: int,
+) -> jnp.ndarray:
+    """[NB, N_WC, CC] int32 candidate-presence bitmasks for the refine pass.
+
+    Full-res block (band, wc) covers rows [band*tb, +tb) x cols
+    [wc*wco, +wco); coarse pixel (i, j) samples full-res (scale*i,
+    scale*j), so the block's coarse witnesses are the window
+    [band*tb/scale - 1, ..+tb/scale + 1) x [...] (the +-1 margin covers
+    pixels BETWEEN samples, whose best candidate can follow either
+    neighbor). min/max step over the window, widened by +-refine, becomes
+    a contiguous bit range per sc-candidate chunk. Every pixel's
+    [coarse -1 .. +1 sample span +- refine] window is therefore a subset
+    of its block's scanned set."""
+    hc, wcc = coarse.shape
+    tbc, wcoc = tb // scale, wco // scale
+    # byte -> nearest candidate index (inverse of the round(s*255/(S-1))
+    # encode; exact roundtrip for every s, pinned by tests)
+    si = (coarse.astype(jnp.int32) * (steps - 1) * 2 + 255) // 510
+    pb = nb * tbc + 1 - hc
+    pr = n_wc * wcoc + 1 - wcc
+    sip = jnp.pad(si, ((1, pb), (1, pr)), mode="edge")
+    win = (tbc + 2, wcoc + 2)
+    strides = (tbc, wcoc)
+    mx = jax.lax.reduce_window(
+        sip, jnp.int32(-(2**31)), jax.lax.max, win, strides, "VALID"
+    )
+    mn = jax.lax.reduce_window(
+        sip, jnp.int32(2**31 - 1), jax.lax.min, win, strides, "VALID"
+    )
+    smin = jnp.clip(mn - refine, 0, steps - 1)
+    smax = jnp.clip(mx + refine, 0, steps - 1)
+    sidx = jnp.arange(steps, dtype=jnp.int32)
+    inr = (sidx >= smin[..., None]) & (sidx <= smax[..., None])
+    bits = inr.reshape(nb, n_wc, steps // sc, sc).astype(jnp.int32)
+    return (bits << jnp.arange(sc, dtype=jnp.int32)).sum(
+        axis=-1, dtype=jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h_out", "w", "radius", "steps", "px", "py", "span_y", "span_x",
+    ),
+)
+def _estimate_fused_pres(
+    selected, sel_offsets, focus, focus_range, pres, *,
+    h_out: int, w: int, radius: tuple[int, int], steps: int,
+    px: int, py: int, span_y: int, span_x: int,
+):
+    return _run(
+        selected, sel_offsets, focus, focus_range,
+        h_out=h_out, w=w, radius=radius, steps=steps, px=px, py=py,
+        span_y=span_y, span_x=span_x, row_start=0, slab=None,
+        coord_row0=0, fast=False, pres=pres,
+    )
+
+
+def estimate_fused_pyramid(
+    selected: jnp.ndarray,  # [K, C, H, W] uint8
+    sel_offsets: jnp.ndarray,  # [K, 2] f32 (x, y)
+    focus: jnp.ndarray,
+    focus_range: jnp.ndarray,
+    *,
+    h_out: int,
+    w: int,
+    radius: tuple[int, int],
+    steps: int,
+    px: int,
+    py: int,
+    span_y: int,
+    span_x: int,
+    scale: int = 2,
+    refine: int = 1,
+) -> jnp.ndarray:
+    """Coarse-to-fine exact-taps estimate -> [align8(h_out), W128] u8 map.
+
+    Two fused passes: (1) the full candidate sweep at 1/scale resolution
+    (subsampled stack, offsets scaled with it -- 1/scale^2 the work); (2)
+    the full-res exact kernel with per-block candidate-presence bitmasks
+    derived from the coarse map (window DMAs and candidate steps outside
+    [block coarse min-refine, max+refine] are skipped -- whole-step
+    pl.when predication, the one pattern measured to win on this kernel
+    family). The refine pass's scanned set per block is a superset of
+    every member pixel's own [coarse +- refine] window, and the output is
+    the exact argmin over that scanned set.
+
+    APPROXIMATE BY DESIGN: a pixel whose true global best lies outside its
+    block's scanned set gets the best scanned candidate instead -- gate
+    behind an explicit flag (cli --focus-pyramid) and quantify with the
+    PSNR row vs the exact oracle. The reference has no such mode
+    (full sweep always, src/kernels.cu:239-258). Check supports_pyramid
+    first. Equals estimate_fused bit-for-bit when refine >= steps."""
+    k = selected.shape[0]
+    coarse_sel = selected[:, :, ::scale, ::scale]
+    hc, wc_ = coarse_sel.shape[2], coarse_sel.shape[3]
+    radius_c, px_c, py_c, sy_c, sx_c = _coarse_params(
+        radius, px, py, span_y, span_x, scale
+    )
+    coarse = estimate_fused(
+        coarse_sel, sel_offsets / scale, focus, focus_range,
+        h_out=hc, w=wc_, radius=radius_c, steps=steps,
+        px=px_c, py=py_c, span_y=sy_c, span_x=sx_c,
+    )[:hc, :wc_]
+    cfg = _cfg_for(h_out, w, k, steps, radius, span_y, span_x,
+                   exact_taps=True)
+    if cfg is None:
+        raise ValueError("geometry unsupported; check supports_pyramid")
+    tb, _, _, _, sc, wco = cfg
+    h8 = _align(h_out, 8)
+    nb = -(-h8 // tb)
+    n_wc = _align(w, 128) // wco
+    pres = _presence_from_coarse(
+        coarse, steps=steps, sc=sc, nb=nb, tb=tb, n_wc=n_wc, wco=wco,
+        scale=scale, refine=refine,
+    )
+    return _estimate_fused_pres(
+        selected, sel_offsets, focus, focus_range, pres,
+        h_out=h_out, w=w, radius=radius, steps=steps, px=px, py=py,
+        span_y=span_y, span_x=span_x,
     )
 
 

@@ -80,7 +80,7 @@ def shift_pad_bound(
     jax.jit,
     static_argnames=(
         "radius", "steps", "pad", "row_count", "exact_taps", "tap_dtype",
-        "sel_mode", "spans",
+        "sel_mode", "spans", "pyramid",
     ),
 )
 def estimate_focus_map(
@@ -99,6 +99,8 @@ def estimate_focus_map(
     spans: tuple[int, int] | None = None,
     slab: jnp.ndarray | None = None,  # [K, C, row_count+2py, W+2px] uint8
     coord_row0: jnp.ndarray | int = 0,
+    present: jnp.ndarray | None = None,  # [steps, row_count, W] bool
+    pyramid: tuple[int, int] | None = None,  # (scale, refine) static
 ) -> jnp.ndarray:
     """Disparity-search focus map (FocusMap::estimate, src/kernels.cu:239-258).
 
@@ -163,7 +165,11 @@ def estimate_focus_map(
 
     if slab is not None and pad is None:
         raise ValueError("slab mode requires the padded fast path: pass pad=")
-    if spans is not None and pad is not None:
+    # `present` ([S, rows, W] bool) restricts the argmin to per-pixel
+    # candidate subsets on the XLA sweep -- the verification oracle for the
+    # fused pyramid's presence predication (estimate_pallas); it never
+    # routes fused.
+    if spans is not None and pad is not None and present is None:
         from . import estimate_pallas
         from .blend_pallas import is_available
 
@@ -177,6 +183,29 @@ def estimate_focus_map(
         if is_available() and sup(
             h_out, w, k, steps, (rx, ry), spans[0], spans[1]
         ):
+            # `pyramid` = (scale, refine): APPROXIMATE coarse-to-fine route
+            # (full sweep at 1/scale res, presence-predicated refine at
+            # full res -- changes output, cli --focus-pyramid). Full-frame
+            # exact-taps renders only; anything else falls through to the
+            # exact fused sweep so correctness never silently degrades
+            # beyond the documented flag.
+            if (
+                pyramid is not None
+                and exact_taps
+                and slab is None
+                and h_out == h
+                and estimate_pallas.supports_pyramid(
+                    h_out, w, k, steps, (rx, ry), spans[0], spans[1],
+                    pxe, pye, scale=pyramid[0],
+                )
+            ):
+                return estimate_pallas.estimate_fused_pyramid(
+                    selected, sel_offsets, focus, focus_range,
+                    h_out=h_out, w=w, radius=(rx, ry), steps=steps,
+                    px=pxe, py=pye,
+                    span_y=int(spans[0]), span_x=int(spans[1]),
+                    scale=pyramid[0], refine=pyramid[1],
+                )[:h_out, :w]
             fn = (
                 estimate_pallas.estimate_fused
                 if exact_taps
@@ -343,9 +372,14 @@ def estimate_focus_map(
 
     def one_candidate(carry, inputs):
         best_cost, best_idx, i = carry
-        fxi, fyi = inputs  # [K], [K]
+        fxi, fyi = inputs[0], inputs[1]  # [K], [K]
         cost = cost_fn(fxi, fyi)
         better = cost < best_cost  # strict: first minimum wins, like MinDispersion
+        if present is not None:
+            # masked scan: a non-present candidate never updates the argmin
+            # (the per-pixel oracle of estimate_pallas's presence-predicated
+            # pyramid refine pass, which skips those candidates wholesale)
+            better = better & inputs[2]
         best_cost = jnp.where(better, cost, best_cost)
         best_idx = jnp.where(better, i, best_idx)
         return (best_cost, best_idx, i + jnp.int16(1)), None
@@ -355,7 +389,8 @@ def estimate_focus_map(
         jnp.zeros((h_out, w), jnp.int16),
         jnp.int16(0),
     )
-    (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, (fxs, fys))
+    xs = (fxs, fys) if present is None else (fxs, fys, present)
+    (best_cost, best_idx, _), _ = lax.scan(one_candidate, init, xs)
 
     best_focus = focus + no_fma(step * best_idx.astype(jnp.float32))
     normalized = div_exact(best_focus - focus, focus_range)

@@ -213,6 +213,7 @@ class StreamingRenderer:
                 filter_radius=self._filter_radius, steps=cfg.focus_steps,
                 pad=self._focus_pad, exact_taps=cfg.exact_focus_taps,
                 spread=self._spread, spans=self._spans_eff,
+                pyramid=(2, 1) if cfg.focus_pyramid else None,
             )
         if self._use_pallas:
             px, py = self._bound

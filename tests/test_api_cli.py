@@ -267,6 +267,61 @@ def test_interpolate_batch_allfocus_mixed_centers(scene_dir, monkeypatch):
     assert len(maps_seen) == 2  # two centers -> two distinct map sets
 
 
+def test_interpolate_batch_center_tolerance(scene_dir, monkeypatch):
+    """center_tolerance merges near-equal centers into ONE group (shared
+    maps, first member's center); tolerance 0 keeps exact per-center
+    grouping. The far trajectory stays its own group either way."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    d, _, _ = scene_dir
+    interp = Interpolator(
+        d, config=RenderConfig(view_count=4, focus_map_views=8),
+        progress=False,
+    )
+    # centers: (1, 1), (1.002, 1.002) -- jitter 0.003 apart -- and (1.5, 1.5)
+    trajs = ["0.0,0.0,1.0,1.0", "0.0,0.0,1.002,1.002", "0.5,0.5,1.0,1.0"]
+    exact = interp.interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, progress=False
+    )
+    assert len({r.maps.tobytes() for r in exact}) == 3
+
+    merged = interp.interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, center_tolerance=0.01,
+        progress=False,
+    )
+    # jittered pair shares the FIRST member's maps; far center unmerged
+    np.testing.assert_array_equal(merged[0].maps, merged[1].maps)
+    np.testing.assert_array_equal(merged[0].maps, exact[0].maps)
+    np.testing.assert_array_equal(merged[0].views, exact[0].views)
+    assert merged[2].maps.tobytes() == exact[2].maps.tobytes()
+    assert merged[1].maps.tobytes() != exact[1].maps.tobytes()
+
+    # tolerance large enough to swallow everything -> one group
+    one = interp.interpolate_batch(
+        trajs, focus=0.1, focus_range=0.2, center_tolerance=2.0,
+        progress=False,
+    )
+    assert len({r.maps.tobytes() for r in one}) == 1
+
+
+def test_focus_pyramid_flag_renders(scene_dir, monkeypatch):
+    """focus_pyramid=True renders end-to-end; on geometries below the fused
+    kernel's minima it falls back to the exact sweep (identical output)."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    d, _, _ = scene_dir
+    cfg = RenderConfig(view_count=4, focus_map_views=8, focus_pyramid=True)
+    out = Interpolator(d, config=cfg, progress=False).interpolate(
+        "0,0,1,1", focus=0.1, focus_range=0.2, progress=False
+    )
+    ref = Interpolator(
+        d, config=RenderConfig(view_count=4, focus_map_views=8),
+        progress=False,
+    ).interpolate("0,0,1,1", focus=0.1, focus_range=0.2, progress=False)
+    # the test scene is far below the fused estimate's 256-px lane minimum,
+    # so the pyramid route must fall back exactly
+    np.testing.assert_array_equal(out.maps, ref.maps)
+    np.testing.assert_array_equal(out.views, ref.views)
+
+
 def test_loader_single_image_grid(tmp_path, rng):
     """A 1x1 grid exercises the batch path's empty-remainder call."""
     d = tmp_path / "single"

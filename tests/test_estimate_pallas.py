@@ -134,6 +134,141 @@ def test_support_gate_and_planner_agree():
             )
 
 
+def _structured_selected(rng, h, w, K, sel_off, frange, steps):
+    """Multi-plane stack with real disparity signal: three depth bands whose
+    per-view shifts equal candidate focus values, so the coarse map has
+    coherent structure and the presence tables actually prune."""
+    m = 64
+    tex = rng.integers(0, 256, (3, h + 2 * m, w + 2 * m), dtype=np.uint8)
+    t = tex.astype(np.float32)
+    t = (t + np.roll(t, 1, 1) + np.roll(t, 2, 2)) / 2
+    tex = t.astype(np.uint8)
+    step = frange / (steps - 1)
+    planes = (0.0, step * (steps // 2), step * (steps - 1))
+    band = h // 3
+    off = np.asarray(sel_off)
+    out = np.empty((K, 3, h, w), np.uint8)
+    for k in range(K):
+        y0 = 0
+        for f, hb in zip(planes, (band, band, h - 2 * band)):
+            dx = int(round(-f * off[k, 0])) + m
+            dy = int(round(-f * off[k, 1])) + m
+            out[k, :, y0 : y0 + hb] = tex[:, dy + y0 : dy + y0 + hb, dx : dx + w]
+            y0 += hb
+    return jnp.asarray(out)
+
+
+def _pyramid_setup(rng, h=96, w=512, K=8, steps=8, focus=0.0, frange=0.21):
+    cols = rows = 4
+    radius = (4, 2)
+    se = np.array([0, 0, cols - 1.0, rows - 1.0], np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.3, geometry.trajectory_center(se)
+    )
+    ids = np.asarray(geometry.select_focus_views(se, cols, rows, K))
+    sel_off = np.asarray(offsets)[ids]
+    sel_img = _structured_selected(rng, h, w, K, sel_off, frange, steps)
+    pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
+    spans = ep.chunk_spans(offsets, focus, frange, steps, 4)
+    pxe = max(pad[0], radius[0] + 1)
+    pye = max(pad[1], radius[1] + 1)
+    return (sel_img, jnp.asarray(sel_off), radius, pxe, pye, spans,
+            focus, frange, steps, h, w, K)
+
+
+def test_pyramid_full_refine_equals_exact(rng):
+    """refine >= steps makes every candidate present -> the pyramid refine
+    pass must equal the plain exact fused sweep bit for bit (the
+    predication machinery adds nothing when nothing is skipped)."""
+    (sel_img, sel_off, radius, pxe, pye, spans,
+     focus, frange, steps, h, w, K) = _pyramid_setup(rng)
+    assert ep.supports_pyramid(
+        h, w, K, steps, radius, spans[0], spans[1], pxe, pye
+    )
+    kw = dict(h_out=h, w=w, radius=radius, steps=steps, px=pxe, py=pye,
+              span_y=spans[0], span_x=spans[1])
+    exact = ep.estimate_fused(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), **kw
+    )[:h, :w]
+    pyr = ep.estimate_fused_pyramid(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+        scale=2, refine=steps, **kw
+    )[:h, :w]
+    np.testing.assert_array_equal(np.asarray(pyr), np.asarray(exact))
+
+
+def test_pyramid_matches_masked_xla_oracle(rng):
+    """The presence-predicated refine pass equals the XLA sweep restricted
+    to the same per-block candidate sets, bit for bit -- on a structured
+    scene where the presence tables genuinely prune (asserted)."""
+    (sel_img, sel_off, radius, pxe, pye, spans,
+     focus, frange, steps, h, w, K) = _pyramid_setup(rng)
+    kw = dict(h_out=h, w=w, radius=radius, steps=steps, px=pxe, py=pye,
+              span_y=spans[0], span_x=spans[1])
+    pyr = ep.estimate_fused_pyramid(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+        scale=2, refine=1, **kw
+    )[:h, :w]
+
+    # rebuild the same presence table the pyramid used
+    coarse = ep.estimate_fused(
+        sel_img[:, :, ::2, ::2], sel_off / 2, jnp.float32(focus),
+        jnp.float32(frange),
+        h_out=-(-h // 2), w=-(-w // 2),
+        radius=ep._coarse_params(radius, pxe, pye, *spans, 2)[0],
+        steps=steps,
+        px=ep._coarse_params(radius, pxe, pye, *spans, 2)[1],
+        py=ep._coarse_params(radius, pxe, pye, *spans, 2)[2],
+        span_y=ep._coarse_params(radius, pxe, pye, *spans, 2)[3],
+        span_x=ep._coarse_params(radius, pxe, pye, *spans, 2)[4],
+    )[: -(-h // 2), : -(-w // 2)]
+    cfg = ep._cfg_for(h, w, K, steps, radius, spans[0], spans[1])
+    tb, sc, wco = cfg[0], cfg[4], cfg[5]
+    h8 = -(-h // 8) * 8
+    nb, n_wc = -(-h8 // tb), (-(-w // 128) * 128) // wco
+    pres = np.asarray(ep._presence_from_coarse(
+        coarse, steps=steps, sc=sc, nb=nb, tb=tb, n_wc=n_wc, wco=wco,
+        scale=2, refine=1,
+    ))
+    # expand bitmasks to a per-pixel [S, h, w] mask for the XLA oracle
+    bits = (
+        pres[:, :, :, None] >> np.arange(sc)[None, None, None, :]
+    ) & 1  # [NB, WC, CC, sc]
+    present_blocks = bits.reshape(nb, n_wc, steps).astype(bool)
+    full = np.zeros((steps, nb * tb, n_wc * wco), bool)
+    for b in range(nb):
+        for wc in range(n_wc):
+            full[:, b * tb : (b + 1) * tb, wc * wco : (wc + 1) * wco] = (
+                present_blocks[b, wc][:, None, None]
+            )
+    present = jnp.asarray(full[:, :h, :w])
+    assert not bool(present.all()), "scene must actually prune candidates"
+
+    want = focus_ops.estimate_focus_map(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), radius,
+        steps=steps, pad=(pxe, pye), exact_taps=True, present=present,
+    )
+    np.testing.assert_array_equal(np.asarray(pyr), np.asarray(want))
+
+
+def test_pyramid_close_to_exact_on_structured_scene(rng):
+    """On a depth-coherent scene the pyramid agrees with the exact sweep on
+    the overwhelming majority of pixels (the approximation shows up only
+    near block/depth boundaries)."""
+    (sel_img, sel_off, radius, pxe, pye, spans,
+     focus, frange, steps, h, w, K) = _pyramid_setup(rng)
+    kw = dict(h_out=h, w=w, radius=radius, steps=steps, px=pxe, py=pye,
+              span_y=spans[0], span_x=spans[1])
+    exact = np.asarray(ep.estimate_fused(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), **kw
+    )[:h, :w])
+    pyr = np.asarray(ep.estimate_fused_pyramid(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+        scale=2, refine=1, **kw
+    )[:h, :w])
+    assert (pyr == exact).mean() > 0.95
+
+
 def test_estimate_focus_map_routes_to_fused(rng, monkeypatch):
     """estimate_focus_map(spans=...) takes the fused kernel (spied) and
     returns the identical map."""
