@@ -12,8 +12,9 @@ repetitions, reference: src/interpolator.cu:271-295).
 
 Other BASELINE configs: `python bench.py --config NAME` or env
 LFI_BENCH_CONFIG with one of: headline, c1_2x2_512, c2_4x4_1024,
-c3_allfocus_1080, c3_fast_allfocus_1080, c4_quilt_1080, c5_video_4k,
-c6_serving_batch, c7_serving_allfocus, all.
+c3_allfocus_1080, c3_fast_allfocus_1080, c3_pyramid_allfocus_1080,
+c4_quilt_1080, c5_video_4k, c6_serving_batch, c7_serving_allfocus,
+c8_stream_allfocus_1080, c8_stream_allfocus_4k, all.
 
 Timing method: N dispatches in flight with distinct shift tables per run and
 one tiny-fetch sync at the end (the production serving pattern). Repeated
@@ -289,6 +290,118 @@ def bench_c3_fast():
     )
 
 
+def bench_c3_pyramid():
+    # c3's --focus-pyramid variant: coarse half-res sweep + presence-
+    # predicated full-res refine (approximate; reference has no such mode).
+    # The metric line also reports map agreement + view PSNR vs the exact
+    # pipeline on the same scene, so the speed/quality trade is one row.
+    cols = rows = 4
+    h, w, v = 1080, 1920, 64
+    start_end, wm, offsets, _ = _setup(cols, rows, h, w, v)
+    planar = _structured_scene(cols, rows, h, w)
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 16))
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
+
+    spread = allfocus_pallas.spread_bound(offsets, 0.1, 0.3)
+    spans = estimate_pallas.chunk_spans(offsets, 0.1, 0.3, 32, 4)
+    weights = jnp.asarray(wm)
+    offj = jnp.asarray(offsets)
+
+    def step(i, pyramid=(2, 1)):
+        return pipeline.render_all_focus(
+            planar, weights, offj,
+            jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
+            method="TEN", radius=radius, filter_radius=frad, steps=32,
+            pad=pad, spread=spread, spans=spans, pyramid=pyramid,
+        )
+
+    per = _throughput(step, max(4, RUNS // 8))
+    gps = v * h * w / per / 1e9
+    # quality vs the exact pipeline (same scene, same focus)
+    pv, pm = step(0)
+    ev, em = step(0, pyramid=None)
+    agree = float(jnp.mean((pm[0] == em[0]).astype(jnp.float32)))
+    mse = float(
+        jnp.mean(
+            (pv.astype(jnp.float32) - ev.astype(jnp.float32)) ** 2
+        )
+    )
+    psnr = 99.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+    _emit(
+        f"4x4-grid 1080p all-in-focus pipeline, --focus-pyramid "
+        f"({per*1000:.0f} ms; map agreement {100*agree:.1f}%, views "
+        f"{psnr:.1f} dB vs exact)", gps, "GP/s", gps / BASELINE_GPS,
+    )
+
+
+def _stream_allfocus(cols, rows, h, w, K, runs):
+    """Streaming all-focus frame loop: per-frame estimate+select+blend from
+    the raw stack (StreamingRenderer's focus_range>0 path), with the
+    estimate phase timed separately (synced side run) to test the
+    estimate-bound hypothesis."""
+    v, steps = 64, 32
+    start_end, wm, offsets, _ = _setup(cols, rows, h, w, v)
+    planar = _structured_scene(cols, rows, h, w)
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, K))
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
+
+    spread = allfocus_pallas.spread_bound(offsets, 0.1, 0.3)
+    spans = estimate_pallas.chunk_spans(offsets, 0.1, 0.3, steps, 4)
+    weights = jnp.asarray(wm)
+    offj = jnp.asarray(offsets)
+
+    def step(i):
+        return pipeline.render_all_focus(
+            planar, weights, offj,
+            jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
+            method="TEN", radius=radius, filter_radius=frad, steps=steps,
+            pad=pad, spread=spread, spans=spans,
+        )
+
+    per = _throughput(step, runs)
+
+    def est_step(i):
+        return pipeline.compute_focus_maps(
+            planar, offj, jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3),
+            ids, radius=radius, filter_radius=frad, steps=steps, pad=pad,
+            spans=spans,
+        )
+
+    per_est = _throughput(est_step, runs)
+    return per, per_est, v
+
+
+def bench_c8():
+    # Streaming all-focus at the c3 scale but with the reference's full
+    # K=32 focus views on an 8x8 grid (StreamingRenderer focus path,
+    # landed untimed in round 3).
+    runs = max(4, RUNS // 8)
+    per, per_est, v = _stream_allfocus(8, 8, 1080, 1920, 32, runs)
+    _emit(
+        f"8x8-grid 1080p streaming all-focus ({per*1000:.0f} ms/frame, "
+        f"estimate {per_est*1000:.0f} ms = {100*per_est/per:.0f}%)",
+        1.0 / per, "frames/s",
+        (v * 1080 * 1920 / per / 1e9) / BASELINE_GPS,
+    )
+
+
+def bench_c8_4k():
+    runs = max(3, RUNS // 12)
+    per, per_est, v = _stream_allfocus(4, 4, 2160, 3840, 16, runs)
+    _emit(
+        f"4x4-grid 4K streaming all-focus ({per*1000:.0f} ms/frame, "
+        f"estimate {per_est*1000:.0f} ms = {100*per_est/per:.0f}%)",
+        1.0 / per, "frames/s",
+        (v * 2160 * 3840 / per / 1e9) / BASELINE_GPS,
+    )
+
+
 def bench_c4():
     # 45-view 5x9 quilt serving (Looking Glass): ONE fused kernel pair --
     # clamp-shift + blend straight into the quilt canvas (blend_quilt),
@@ -469,10 +582,13 @@ CONFIGS = {
     "c2_4x4_1024": bench_c2,
     "c3_allfocus_1080": bench_c3,
     "c3_fast_allfocus_1080": bench_c3_fast,
+    "c3_pyramid_allfocus_1080": bench_c3_pyramid,
     "c4_quilt_1080": bench_c4,
     "c5_video_4k": bench_c5,
     "c6_serving_batch": bench_c6,
     "c7_serving_allfocus": bench_c7,
+    "c8_stream_allfocus_1080": bench_c8,
+    "c8_stream_allfocus_4k": bench_c8_4k,
 }
 
 
