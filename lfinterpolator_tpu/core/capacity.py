@@ -64,8 +64,14 @@ def device_hbm_bytes() -> int:
 
 
 def _headroom(budget: int) -> int:
-    """Slack left for XLA scratch, fragmentation, and small constants."""
-    return min(256 * 2**20, budget // 16)
+    """Slack left for XLA scratch, fragmentation, and small constants.
+
+    512 MB at full-chip budgets: a 256 MB slack planned an 8K render to
+    within ~50 MB of the 15.75 GiB budget and the chip intermittently
+    returned RESOURCE_EXHAUSTED at that occupancy (round 4; the identical
+    plan also ran clean twice -- fragmentation-sensitive), so the margin
+    is set by observed allocator behavior, not arithmetic."""
+    return min(512 * 2**20, budget // 16)
 
 
 def _align(x: int, m: int) -> int:
