@@ -49,6 +49,7 @@ def render_fixed_focus(
     jax.jit,
     static_argnames=(
         "radius", "filter_radius", "steps", "pad", "exact_taps", "spans",
+        "pyramid",
     ),
 )
 def compute_focus_maps(
@@ -383,7 +384,7 @@ def blend_all_focus(
     jax.jit,
     static_argnames=(
         "method", "radius", "filter_radius", "steps", "pad", "exact_taps",
-        "spread", "spans",
+        "spread", "spans", "pyramid",
     ),
 )
 def render_all_focus(

@@ -532,3 +532,53 @@ def test_lane_chunked_grids_match_xla(rng, monkeypatch):
                 np.asarray(got), np.asarray(want),
                 err_msg=f"exact={exact} rows=({rs},{rc})",
             )
+
+
+def test_pyramid_through_pipeline_jit(rng):
+    """Regression: pipeline.compute_focus_maps must declare `pyramid`
+    static -- round 4's first chip run of the --focus-pyramid bench hit
+    TracerBoolConversionError because the (scale, refine) ints traced
+    through its jit boundary (the CLI test only covered the spans=None
+    fallback, which never reaches supports_pyramid)."""
+    from lfinterpolator_tpu.models import pipeline
+
+    (sel_img, sel_off, radius, pxe, pye, spans,
+     focus, frange, steps, h, w, K) = _pyramid_setup(rng)
+    ids = jnp.arange(K, dtype=jnp.int32)  # images[ids] == sel_img
+    maps = pipeline.compute_focus_maps(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange), ids,
+        radius=radius, filter_radius=(1, 1), steps=steps,
+        pad=(pxe, pye), spans=(int(spans[0]), int(spans[1])),
+        pyramid=(2, 1),
+    )
+    want = ep.estimate_fused_pyramid(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+        h_out=h, w=w, radius=radius, steps=steps, px=pxe, py=pye,
+        span_y=spans[0], span_x=spans[1], scale=2, refine=1,
+    )[:h, :w]
+    np.testing.assert_array_equal(np.asarray(maps[0]), np.asarray(want))
+
+
+def test_pyramid_through_render_all_focus_jit(rng):
+    """Same regression one level up: render_all_focus is ALSO jitted and
+    must declare `pyramid` static (the CLI/streaming entry; the first fix
+    only patched compute_focus_maps and the CLI still crashed)."""
+    from lfinterpolator_tpu.models import pipeline
+
+    (sel_img, sel_off, radius, pxe, pye, spans,
+     focus, frange, steps, h, w, K) = _pyramid_setup(rng)
+    ids = jnp.arange(K, dtype=jnp.int32)
+    weights = jnp.full((4, K), 1.0 / K, jnp.float32)
+    views, maps = pipeline.render_all_focus(
+        sel_img, weights, sel_off, jnp.float32(focus), jnp.float32(frange),
+        ids, method="STD", radius=radius, filter_radius=(1, 1), steps=steps,
+        pad=(pxe, pye), spans=(int(spans[0]), int(spans[1])),
+        pyramid=(2, 1),
+    )
+    want = ep.estimate_fused_pyramid(
+        sel_img, sel_off, jnp.float32(focus), jnp.float32(frange),
+        h_out=h, w=w, radius=radius, steps=steps, px=pxe, py=pye,
+        span_y=spans[0], span_x=spans[1], scale=2, refine=1,
+    )[:h, :w]
+    np.testing.assert_array_equal(np.asarray(maps[0]), np.asarray(want))
+    assert views.shape == (4, 3, h, w)
