@@ -14,7 +14,8 @@ Other BASELINE configs: `python bench.py --config NAME` or env
 LFI_BENCH_CONFIG with one of: headline, c1_2x2_512, c2_4x4_1024,
 c3_allfocus_1080, c3_fast_allfocus_1080, c3_pyramid_allfocus_1080,
 c4_quilt_1080, c5_video_4k, c6_serving_batch, c7_serving_allfocus,
-c8_stream_allfocus_1080, c8_stream_allfocus_4k, all.
+c7_tol_serving_allfocus, c8_stream_allfocus_1080, c8_refresh_allfocus_1080,
+c8_stream_allfocus_4k, all.
 
 Timing method: N dispatches in flight with distinct shift tables per run and
 one tiny-fetch sync at the end (the production serving pattern). Repeated
@@ -184,16 +185,39 @@ def bench_c2():
           gps / BASELINE_GPS)
 
 
-def _structured_scene(cols, rows, h, w):
+def _structured_scene(
+    cols, rows, h, w,
+    # candidates are 0.1 + k*0.3/31; planes sit ON the grid (k=3, 13, 26)
+    # so the sweep can lock them exactly -- off-grid planes leave a
+    # shallow cost minimum that truncation noise wins (measured: the
+    # f=0.125 band's map bytes scattered while on-grid bands locked)
+    plane_foci=(0.1 + 3 * 0.3 / 31, 0.1 + 13 * 0.3 / 31, 0.1 + 26 * 0.3 / 31),
+):
     """Multi-plane light field: 3 depth bands, each texture-shifted per
     camera (on-device). Focus estimation on iid noise is meaningless -- no
     scene has uncorrelated disparity -- so the all-focus config uses
     realistic structured content (the estimate sweep itself is
     content-independent; the blend's level restriction is what real smooth
-    depth maps exercise)."""
+    depth maps exercise).
+
+    `plane_foci` are the FOCUS VALUES the three depth bands align at, so
+    they land inside the benched sweep window regardless of grid/resolution
+    (the per-camera pixel shift of a plane at focus f is f * w/cols per
+    grid cell -- the compute_offsets scale; y uses w/rows since offsets
+    scale y by resX/resY at aspect 1). The original fixed 24/8/0-px
+    depths mapped to f = 0.05/0.017/0 at 4x4/1920 -- all OUTSIDE the
+    benched [0.1, 0.4] window, so estimated maps were argmin NOISE
+    (measured: a flat 32-level histogram). Estimate speed is
+    content-independent, but map-dependent stages (TEN level restriction,
+    STD presence scan, pyramid presence pruning) were effectively running
+    their worst case; rows measured before the fix say so."""
     g = cols * rows
+    dpx = [f * w / cols for f in plane_foci]
+    dpy = [f * w / rows for f in plane_foci]
+    maxp = max((cols - 1) / 2, (rows - 1) / 2)
+    m = int(np.ceil(maxp * max(dpx + dpy))) + 8
     tex = jax.random.randint(
-        jax.random.key(7), (3, h + 256, w + 256), 0, 255, jnp.int32
+        jax.random.key(7), (3, h + 2 * m, w + 2 * m), 0, 255, jnp.int32
     ).astype(jnp.uint8)
     # smooth the texture so the disparity search has signal
     t = tex.astype(jnp.float32)
@@ -208,11 +232,14 @@ def _structured_scene(cols, rows, h, w):
     @jax.jit
     def make():
         def one(p):
-            def plane(depth_px):
-                dx = (p[0] * depth_px).astype(jnp.int32) + 128
-                dy = (p[1] * depth_px).astype(jnp.int32) + 128
+            def plane(dx_px, dy_px):
+                dx = (p[0] * dx_px).astype(jnp.int32) + m
+                dy = (p[1] * dy_px).astype(jnp.int32) + m
                 return lax.dynamic_slice(tex, (0, dy, dx), (3, h, w))
-            near, mid, far = plane(24.0), plane(8.0), plane(0.0)
+            near, mid, far = (
+                plane(dpx[2], dpy[2]), plane(dpx[1], dpy[1]),
+                plane(dpx[0], dpy[0]),
+            )
             yy = lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
             return jnp.where(
                 yy < band, near, jnp.where(yy < 2 * band, mid, far)
@@ -377,6 +404,89 @@ def _stream_allfocus(cols, rows, h, w, K, runs):
     return per, per_est, v
 
 
+def bench_c7_tol():
+    # interpolate_batch's center_tolerance knob (api.py): 8 trajectories
+    # whose centers are JITTERED within 0.04 grid cells. tolerance=0 keeps
+    # 8 exact-center groups (8 estimates + selects); a small epsilon merges
+    # them into ONE group sharing a single estimate+select (first member's
+    # center). This bench times both arms at the pipeline level -- the
+    # exact per-group work api.interpolate_batch dispatches -- so the row
+    # quantifies what the knob buys a jittered serving workload.
+    cols = rows = 4
+    h, w, v, n_traj = 1080, 1920, 64, 8
+    planar = _structured_scene(cols, rows, h, w)
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
+
+    rng = np.random.default_rng(7)
+    ses, wms, offs, idss = [], [], [], []
+    for t in range(n_traj):
+        d = rng.uniform(-0.02, 0.02, 2).astype(np.float32)
+        se = np.array(
+            [0.2 + d[0], 0.2 + d[1], 2.8 + d[0], 2.8 + d[1]], np.float32
+        )
+        ses.append(se)
+        wms.append(
+            geometry.quantize_weights_f16(
+                geometry.weight_matrix(se, cols, rows, 3.0, v)
+            ).astype(np.float32)
+        )
+        offs.append(
+            geometry.compute_offsets(
+                cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+            )
+        )
+        idss.append(
+            jnp.asarray(geometry.select_focus_views(se, cols, rows, 16))
+        )
+    # shared static bounds (max over members keeps ONE compile per arm)
+    pads = [
+        focus_ops.shift_pad_bound(o, 0.1, 0.3, radius, h, w) for o in offs
+    ]
+    pad = (max(p[0] for p in pads), max(p[1] for p in pads))
+    spread = max(
+        allfocus_pallas.spread_bound(o, 0.1, 0.3) for o in offs
+    )
+    spanss = [
+        estimate_pallas.chunk_spans(o, 0.1, 0.3, 32, 4) for o in offs
+    ]
+    spans = (max(s[0] for s in spanss), max(s[1] for s in spanss))
+    offjs = [jnp.asarray(o) for o in offs]
+    wjs = [jnp.asarray(wm) for wm in wms]
+    merged_w = jnp.asarray(np.concatenate(wms, axis=0))  # [512, G]
+
+    def render(weights, offj, ids, i):
+        return pipeline.render_all_focus(
+            planar, weights, offj,
+            jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
+            method="TEN", radius=radius, filter_radius=frad, steps=32,
+            pad=pad, spread=spread, spans=spans,
+        )
+
+    def step_solo(i):  # tolerance=0: one estimate+select per trajectory
+        return [
+            render(wjs[t], offjs[t], idss[t], i * n_traj + t)
+            for t in range(n_traj)
+        ]
+
+    def step_merged(i):  # tolerance>=jitter: one shared estimate+select
+        return render(merged_w, offjs[0], idss[0], i)
+
+    runs = max(3, RUNS // 12)
+    per_solo = _throughput(step_solo, runs)
+    per_merged = _throughput(step_merged, max(4, RUNS // 8))
+    _emit(
+        f"4x4-grid 1080p all-focus serving, 8 center-jittered trajectories: "
+        f"center_tolerance=0.05 merges to ONE estimate "
+        f"({per_merged*1000:.0f} ms = {n_traj/per_merged:.1f} traj/s) vs "
+        f"tolerance=0 per-center groups ({per_solo*1000:.0f} ms = "
+        f"{n_traj/per_solo:.1f} traj/s), {per_solo/per_merged:.2f}x",
+        n_traj / per_merged, "traj/s",
+        (n_traj * v * h * w / per_merged / 1e9) / BASELINE_GPS,
+    )
+
+
 def bench_c8():
     # Streaming all-focus at the c3 scale but with the reference's full
     # K=32 focus views on an 8x8 grid (StreamingRenderer focus path,
@@ -388,6 +498,55 @@ def bench_c8():
         f"estimate {per_est*1000:.0f} ms = {100*per_est/per:.0f}%)",
         1.0 / per, "frames/s",
         (v * 1080 * 1920 / per / 1e9) / BASELINE_GPS,
+    )
+
+
+def bench_c8_refresh():
+    # Streaming all-focus with --map-refresh 8 (StreamingRenderer's
+    # temporal map reuse): estimate every 8th frame, blend every frame
+    # with the latest maps. Same shapes/engines as c8; the amortized
+    # per-frame cost is blend + estimate/8.
+    cols = rows = 8
+    h, w, K, v, steps, N = 1080, 1920, 32, 64, 32, 8
+    start_end, wm, offsets, _ = _setup(cols, rows, h, w, v)
+    planar = _structured_scene(cols, rows, h, w)
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, K))
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
+
+    spread = allfocus_pallas.spread_bound(offsets, 0.1, 0.3)
+    spans = estimate_pallas.chunk_spans(offsets, 0.1, 0.3, steps, 4)
+    weights = jnp.asarray(wm)
+    offj = jnp.asarray(offsets)
+    blend = jax.jit(
+        pipeline.blend_all_focus,
+        static_argnames=("method", "steps", "pad", "spread"),
+    )
+
+    maps_box = [None]
+
+    def step(i):
+        if i % N == 0:
+            maps_box[0] = pipeline.compute_focus_maps(
+                planar, offj, jnp.float32(0.1 + 1e-7 * i),
+                jnp.float32(0.3), ids, radius=radius, filter_radius=frad,
+                steps=steps, pad=pad, spans=spans,
+            )
+        return blend(
+            planar, weights, offj, maps_box[0],
+            jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), method="TEN",
+            steps=steps, pad=pad, spread=spread,
+        )
+
+    runs = max(2 * N, RUNS // 2)
+    per = _throughput(step, runs)
+    _emit(
+        f"8x8-grid 1080p streaming all-focus, --map-refresh {N} "
+        f"({per*1000:.0f} ms/frame amortized)",
+        1.0 / per, "frames/s",
+        (v * h * w / per / 1e9) / BASELINE_GPS,
     )
 
 
@@ -587,7 +746,9 @@ CONFIGS = {
     "c5_video_4k": bench_c5,
     "c6_serving_batch": bench_c6,
     "c7_serving_allfocus": bench_c7,
+    "c7_tol_serving_allfocus": bench_c7_tol,
     "c8_stream_allfocus_1080": bench_c8,
+    "c8_refresh_allfocus_1080": bench_c8_refresh,
     "c8_stream_allfocus_4k": bench_c8_4k,
 }
 

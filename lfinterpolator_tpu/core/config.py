@@ -59,6 +59,14 @@ class RenderConfig:
     # sweep. No reference analogue (full sweep always,
     # src/kernels.cu:239-258).
     focus_pyramid: bool = False
+    # Streaming-only (cli --map-refresh): re-estimate the focus maps every
+    # N frames; frames in between blend with the most recent maps. The
+    # exact estimate is 82-84% of every streaming all-focus frame
+    # (measured, c8), and video depth changes slowly, so N=4-8 multiplies
+    # streaming fps by ~3-4x. APPROXIMATE for N > 1 (a documented video
+    # trade); 1 = per-frame estimation, the reference's per-run flow
+    # (src/interpolator.cu:261-266). Ignored outside StreamingRenderer.
+    focus_map_refresh: int = 1
     # (Kernel chunk sizes are chosen by ops.blend_pallas._auto_chunk from the
     # grid size, resolution, and view count -- they are a VMEM-budget
     # decision, not a user knob. Benchmark repetitions are the CLI -b /
@@ -85,6 +93,8 @@ class RenderConfig:
             raise ValueError("focus_steps must be >= 2")
         if self.channels != 3:
             raise ValueError("only 3-channel (RGB) blending is supported")
+        if self.focus_map_refresh < 1:
+            raise ValueError("focus_map_refresh must be >= 1")
 
     @property
     def uses_focus_map(self) -> bool:

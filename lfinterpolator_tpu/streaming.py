@@ -122,6 +122,14 @@ class StreamingRenderer:
             )
             self._spans_eff = self._spans  # the guard below may withhold
             self._offsets_j = jnp.asarray(offsets)
+            # --map-refresh state: maps re-estimated every N frames (the
+            # blend runs outside render_all_focus then, so jit it once)
+            self._frame_idx = 0
+            self._maps = None
+            self._blend_all_focus = jax.jit(
+                pipeline.blend_all_focus,
+                static_argnames=("method", "steps", "pad", "spread"),
+            )
         self._use_pallas = (
             not self._uses_focus_map
             and self.cfg.method in ("TEN", "TEN_WM")
@@ -206,6 +214,35 @@ class StreamingRenderer:
         if self._uses_focus_map:
             cfg = self.cfg
             method_key = "TEN" if cfg.method in ("TEN", "TEN_WM") else "STD"
+            if cfg.focus_map_refresh > 1:
+                # Temporal map reuse (--map-refresh N): the estimate is
+                # 82-84% of an all-focus frame (c8 measured) and video
+                # depth changes slowly, so re-estimate every N frames and
+                # blend the in-between frames with the most recent maps.
+                # Split at the same maps/blend seam as the view-batched
+                # api path; refresh frames are bit-identical to the
+                # unsplit render_all_focus by construction.
+                if self._frame_idx % cfg.focus_map_refresh == 0:
+                    self._maps = pipeline.compute_focus_maps(
+                        images_planar, self._offsets_j,
+                        jnp.float32(cfg.focus),
+                        jnp.float32(cfg.focus_range), self._ids,
+                        radius=self._radius,
+                        filter_radius=self._filter_radius,
+                        steps=cfg.focus_steps, pad=self._focus_pad,
+                        exact_taps=cfg.exact_focus_taps,
+                        spans=self._spans_eff,
+                        pyramid=(2, 1) if cfg.focus_pyramid else None,
+                    )
+                self._frame_idx += 1
+                views = self._blend_all_focus(
+                    images_planar, self.weights, self._offsets_j,
+                    self._maps, jnp.float32(cfg.focus),
+                    jnp.float32(cfg.focus_range), method=method_key,
+                    steps=cfg.focus_steps, pad=self._focus_pad,
+                    spread=self._spread,
+                )
+                return views, self._maps
             return pipeline.render_all_focus(
                 images_planar, self.weights, self._offsets_j,
                 jnp.float32(cfg.focus), jnp.float32(cfg.focus_range),

@@ -29,6 +29,18 @@ def main() -> int:
     p.add_argument("-f", dest="focus", type=float, default=0.0)
     p.add_argument("-s", dest="effect", type=float, default=3.0)
     p.add_argument("-a", dest="aspect", type=float, default=1.0)
+    p.add_argument("-r", dest="focus_range", type=float, default=0.0,
+                   help="focus range; >0 renders all-in-focus per frame")
+    p.add_argument("--focus-views", type=int, default=32,
+                   help="views used by the focus search")
+    p.add_argument("--fast-focus", action="store_true",
+                   help="~5x faster, approximate focus estimation")
+    p.add_argument(
+        "--map-refresh", type=int, default=1, metavar="N",
+        help="re-estimate the focus maps every N frames and reuse them in "
+             "between (the estimate is 82-84%% of an all-focus frame and "
+             "video depth changes slowly; N>1 is approximate)",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args()
@@ -72,7 +84,10 @@ def main() -> int:
         first.cols, first.rows, first.width, first.height, args.trajectory,
         config=RenderConfig(
             method=args.method, focus=args.focus,
-            effect=args.effect, aspect=args.aspect,
+            focus_range=args.focus_range, effect=args.effect,
+            aspect=args.aspect, focus_map_views=args.focus_views,
+            exact_focus_taps=not args.fast_focus,
+            focus_map_refresh=args.map_refresh,
         ),
     )
     stats = renderer.render_to_dir(frames(), args.output, resume=args.resume)

@@ -267,3 +267,71 @@ def test_render_to_dir_allfocus_writes_maps(tmp_path, rng):
     # resume treats map files as part of frame completeness
     stats2 = sr.render_to_dir(iter(frames), out, resume=True)
     assert stats2.skipped == 2
+
+
+def test_stream_allfocus_map_refresh(rng):
+    """--map-refresh N: maps re-estimated every N frames and reused in
+    between -- frame t's maps equal compute_focus_maps of frame (t//N)*N,
+    views equal blend_all_focus of frame t's images with those maps; the
+    anchor frames are bit-identical to the refresh=1 stream."""
+    import jax.numpy as jnp
+
+    from lfinterpolator_tpu.models import pipeline
+    from lfinterpolator_tpu.ops import allfocus_pallas, blend_xla
+    from lfinterpolator_tpu.ops import focus as focus_ops
+
+    cols = rows = 2
+    h, w, v, n = 16, 32, 4, 5
+    cfg = RenderConfig(
+        view_count=v, focus=0.1, focus_range=0.4,
+        focus_map_views=4, focus_steps=8, focus_map_refresh=2,
+    )
+    frames = _frames(rng, n, cols * rows, h, w)
+    sr = StreamingRenderer(cols, rows, w, h, "0.0,0.0,1.0,1.0", config=cfg)
+    outs = list(sr.render_stream(iter(frames)))
+    assert len(outs) == n
+
+    se = geometry.parse_trajectory("0.0,0.0,1.0,1.0", (cols, rows))
+    wm = geometry.quantize_weights_f16(
+        geometry.weight_matrix(se, cols, rows, 3.0, v)
+    ).astype(np.float32)
+    offsets = geometry.compute_offsets(
+        cols, rows, w, h, 1.0, geometry.trajectory_center(se)
+    )
+    radius = geometry.block_radius(w, h, cfg.pixel_size_factor)
+    frad = (
+        radius[0] // cfg.filter_radius_divisor,
+        radius[1] // cfg.filter_radius_divisor,
+    )
+    ids = jnp.asarray(
+        geometry.select_focus_views(se, cols, rows, cfg.focus_map_views)
+    )
+    pad = focus_ops.shift_pad_bound(
+        offsets, cfg.focus, cfg.focus_range, radius, h, w
+    )
+    spread = allfocus_pallas.spread_bound(offsets, cfg.focus, cfg.focus_range)
+    offj = jnp.asarray(offsets)
+    anchors = {}
+    for t in range(n):
+        a = (t // cfg.focus_map_refresh) * cfg.focus_map_refresh
+        if a not in anchors:
+            anchors[a] = pipeline.compute_focus_maps(
+                blend_xla.to_planar(jnp.asarray(frames[a])), offj,
+                jnp.float32(cfg.focus), jnp.float32(cfg.focus_range), ids,
+                radius=radius, filter_radius=frad, steps=cfg.focus_steps,
+                pad=pad,
+            )
+        views, maps = outs[t]
+        np.testing.assert_array_equal(maps, np.asarray(anchors[a]))
+        want = pipeline.blend_all_focus(
+            blend_xla.to_planar(jnp.asarray(frames[t])), jnp.asarray(wm),
+            offj, anchors[a], jnp.float32(cfg.focus),
+            jnp.float32(cfg.focus_range), method="STD",
+            steps=cfg.focus_steps, pad=pad, spread=spread,
+        )
+        np.testing.assert_array_equal(
+            views, np.asarray(blend_xla.from_planar(want))
+        )
+    # distinct anchor maps (otherwise the reuse assertion is vacuous)
+    assert not np.array_equal(np.asarray(anchors[0]), np.asarray(anchors[2]))
+    assert not np.array_equal(outs[1][1], outs[2][1])
