@@ -101,7 +101,7 @@ def _wchunks(w128: int):
 
 def _cfg_candidates(
     h8: int, w128: int, steps: int, ry: int, rx: int,
-    span_y: int, span_x: int, tb_max: int,
+    span_y: int, span_x: int, tb_max: int, tile_tb_first: bool = False,
 ):
     """Yield (tb, tbw, wl, cc, sc, wco) candidates in preference order.
 
@@ -110,8 +110,28 @@ def _cfg_candidates(
     down to tb=8, the 4K failure mode: 16x window/band amplification and
     3-4x the DMA issue count); then LARGE sc (small sc refetches the K
     windows steps/sc times per band/channel -- a 2-32x multiplier, far
-    bigger than lane-chunk overhead); then wide lane chunks (less wl/wco
-    overhead); then tall bands.
+    bigger than lane-chunk overhead; measured at 8x8/1080p exact: sc=4
+    197.5 ms vs sc=2 205.0 at the same tb/wco); then wide lane chunks
+    (less wl/wco overhead); then tall bands.
+
+    `tile_tb_first` (the EXACT kernel): prefer sublane-tile-aligned band
+    heights -- tb a multiple of 32 packs to tb/4 = 8k sublanes, whole
+    (8, 128) tile rows -- over BOTH larger misaligned bands and wider
+    lane chunks (tb moves outside the wco loop). The exact kernel's
+    packed accumulators live in [tb/4, WL] u32 planes, and misaligned
+    plane heights (tb=40 -> 10 sublanes) cost Mosaic masked/split tile
+    ops on every select/minmax: measured at 4K/K=32/steps=32 exact,
+    tb=32 925 ms vs tb=40 1189 vs tb=24 1250 at identical sc4/wco1280
+    (and 205 vs 281 at 1080p/sc2) -- tb=32 wins even though ceil(h8/32)
+    bands refetch MORE window bytes than tb=40. Band height beats chunk
+    width: at 8K width (row-blocked 2160x7680, radius (76,44)) the
+    wide-chunk-first pick tb=8/wco=1536 measured 6807 ms vs
+    tb=32/wco=768 2598 ms (2.6x) and tb=24/wco=768 3328 ms -- 2-sublane
+    planes + 24x window refetch lose to whole tiles at half the chunk
+    width. The FAST kernel's corrected-window maps are [rc4, WL] with
+    rc4 already dominated by 2*ry; it measured the OPPOSITE tb order
+    (tb=88 307 ms, tb=64 356, tb=32 555 at 4K), so it keeps plain
+    wide-chunks-then-tall-bands.
 
     tb need NOT divide h8: the grid runs ceil(h8/tb) bands and _run slices
     the <tb overshoot rows off (every op is clamp-windowed, so the extra
@@ -120,23 +140,39 @@ def _cfg_candidates(
     awkward row-block heights (272 = 16x17) admit only tiny divisors and
     the window-per-band amplification explodes (measured 612 ms vs the
     full frame's 440 at 8x8/1080p/span-120: tb=16 gives a 12x tbw/tb)."""
+    tbs = list(range(tb_max, 7, -8))
+    if tile_tb_first:
+        tbs.sort(key=lambda t: (t % 32 != 0, -t))
+    wcos = _wchunks(w128)
+    pairs = (
+        [(tb, wco) for tb in tbs for wco in wcos]
+        if tile_tb_first
+        else [(tb, wco) for wco in wcos for tb in tbs]
+    )
     for amp_cap in (4, 10**9):
         for sc in (4, 2, 1):
             if steps % sc:
                 continue
             cc = steps // sc
-            for wco in _wchunks(w128):
+            for tb, wco in pairs:
                 wl = _align(wco + span_x + 2 * rx + 140, 128)
                 if wl > 8 * 3968:  # lane-roll temporaries would blow VMEM
                     continue
-                for tb in range(tb_max, 7, -8):
-                    waste = -(-h8 // tb) * tb - h8
-                    if waste * 8 > h8:
-                        continue
-                    tbw = _align(tb + span_y + 2 * ry + 16, 32)
-                    if tbw > amp_cap * tb:
-                        continue
-                    yield tb, tbw, wl, cc, sc, wco
+                waste = -(-h8 // tb) * tb - h8
+                if waste * 8 > h8:
+                    continue
+                tbw = _align(tb + span_y + 2 * ry + 16, 32)
+                # Tile-aligned bands get one notch of amp slack (5x in
+                # the capped tier): the measured VPU win from whole-tile
+                # accumulator planes (925 vs 1189 ms at 4K, where tb=32
+                # means tbw/tb = 5) exceeds the extra window refetch of
+                # the smaller band.
+                cap = amp_cap * tb
+                if tile_tb_first and tb % 32 == 0:
+                    cap += amp_cap * tb // 4
+                if tbw > cap:
+                    continue
+                yield tb, tbw, wl, cc, sc, wco
 
 
 def _pick_cfg(
@@ -149,7 +185,7 @@ def _pick_cfg(
     (18 + 9*SC + ~6 temps) x [TB/4, WL] u32 + best state.
     """
     for tb, tbw, wl, cc, sc, wco in _cfg_candidates(
-        h8, w128, steps, ry, rx, span_y, span_x, 40
+        h8, w128, steps, ry, rx, span_y, span_x, 40, tile_tb_first=True
     ):
         need = (
             k * tbw * wl
