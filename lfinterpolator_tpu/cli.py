@@ -70,10 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--focus-pyramid", action="store_true",
         help="coarse-to-fine focus estimation: full sweep at half "
              "resolution, then a per-block-narrowed full-res refine. "
-             "Faster on depth-coherent scenes but approximate: pixels "
-             "whose best focus lies outside their block's coarse window "
-             "get the nearest scanned level (exact-taps path only; "
-             "unsupported routes fall back to the exact sweep)",
+             "Measured SLOWER than the exact sweep at every tested "
+             "config (clamp-edge argmin noise keeps candidate windows "
+             "near-full; see PARITY.md) — kept as a documented "
+             "approximate mode. Pixels whose best focus lies outside "
+             "their block's coarse window get the nearest scanned level "
+             "(exact-taps path only; unsupported routes fall back to "
+             "the exact sweep)",
     )
     p.add_argument(
         "--reference-order", action="store_true",
