@@ -80,7 +80,7 @@ def ssim(a: np.ndarray, b: np.ndarray, max_value: float = 255.0) -> float:
     return float(np.mean(scores))
 
 
-_VMAF_RE = re.compile(r"VMAF score[:=]?\s*([0-9.]+)")
+_VMAF_RE = re.compile(r"VMAF score\s*[:=]?\s*([0-9.]+)")
 _vmaf_probe_cache: dict[str, bool] = {}
 
 

@@ -135,3 +135,81 @@ def test_quilt_pallas_matches_dus(rng, monkeypatch):
         q.assemble_quilt.__wrapped__(views, cols=2, rows=3)
     )
     np.testing.assert_array_equal(got_b, want)
+
+
+# ---------------------------------------------------------------------------
+# VMAF parse path (reference: scripts/imageQualityMetrics.sh:10-11).
+# ffmpeg/libvmaf is absent in this environment, so the subprocess + parse
+# path is exercised end-to-end against a fake ffmpeg that reproduces the
+# real filter's output format (vf_libvmaf logs "VMAF score: %f" to stderr;
+# standalone libvmaf v1 printed "VMAF score = %f" — both canned below).
+
+
+def _write_fake_ffmpeg(tmp_path, vmaf_line):
+    script = tmp_path / "ffmpeg"
+    script.write_text(
+        "#!/bin/sh\n"
+        'if [ "$2" = "-filters" ]; then\n'
+        '  echo " ... V->V       libvmaf           Calculate the VMAF"\n'
+        "  exit 0\n"
+        "fi\n"
+        f"echo '{vmaf_line}' >&2\n"
+        "exit 0\n"
+    )
+    script.chmod(0o755)
+    return str(script)
+
+
+@pytest.mark.parametrize(
+    "line, want",
+    [
+        # ffmpeg vf_libvmaf (all released versions): "VMAF score: %f"
+        ("[Parsed_libvmaf_0 @ 0x5600a1b2c3d0] VMAF score: 92.345678", 92.345678),
+        # libvmaf v1 standalone / vmafossexec format
+        ("VMAF score = 76.668905", 76.668905),
+        # integer score edge case
+        ("[libvmaf @ 0x7f] VMAF score: 100", 100.0),
+    ],
+)
+def test_vmaf_regex_real_formats(line, want):
+    m = metrics._VMAF_RE.search(line)
+    assert m is not None
+    assert float(m.group(1)) == pytest.approx(want)
+
+
+def test_vmaf_end_to_end_fake_ffmpeg(tmp_path, rng):
+    from lfinterpolator_tpu.io import codec
+
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    codec.encode_png(str(a), img)
+    codec.encode_png(str(b), img)
+
+    fake = _write_fake_ffmpeg(
+        tmp_path, "[Parsed_libvmaf_0 @ 0x5600a1b2c3d0] VMAF score: 92.345678"
+    )
+    assert metrics.vmaf_available(fake)
+    score = metrics.vmaf(str(a), str(b), ffmpeg=fake)
+    assert score == pytest.approx(92.345678)
+    # compare_files should surface it under the "vmaf" key
+    got = metrics.compare_files(str(a), str(b), with_vmaf=True)
+    assert got["psnr"] == float("inf")
+    # compare_files uses the default "ffmpeg" binary, absent here -> no key,
+    # proving the graceful-skip branch alongside the parse branch
+    assert "vmaf" not in got or isinstance(got["vmaf"], float)
+
+
+def test_vmaf_unparseable_output_returns_none(tmp_path, rng):
+    from lfinterpolator_tpu.io import codec
+
+    a = tmp_path / "a.png"
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    codec.encode_png(str(a), img)
+    fake = _write_fake_ffmpeg(tmp_path, "frame I/O summary, no score here")
+    assert metrics.vmaf(str(a), str(a), ffmpeg=fake) is None
+
+
+def test_vmaf_missing_binary_returns_none(tmp_path):
+    assert metrics.vmaf("x.png", "y.png", ffmpeg=str(tmp_path / "nope")) is None
+    assert not metrics.vmaf_available(str(tmp_path / "nope"))
