@@ -25,6 +25,7 @@ __all__ = [
     "RenderConfig",
     "Interpolator",
     "RenderResult",
+    "QuiltResult",
     "interpolate",
     "StreamingRenderer",
     "__version__",
@@ -33,6 +34,7 @@ __all__ = [
 _LAZY = {
     "Interpolator": ("lfinterpolator_tpu.api", "Interpolator"),
     "RenderResult": ("lfinterpolator_tpu.api", "RenderResult"),
+    "QuiltResult": ("lfinterpolator_tpu.api", "QuiltResult"),
     "interpolate": ("lfinterpolator_tpu.api", "interpolate"),
     "StreamingRenderer": ("lfinterpolator_tpu.streaming", "StreamingRenderer"),
 }

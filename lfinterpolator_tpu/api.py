@@ -157,6 +157,34 @@ class RenderResult:
         return writer.write_quilt(path, np.asarray(quilt_ops.to_hwc(q)))
 
 
+@dataclasses.dataclass
+class QuiltResult:
+    """Output of one render_quilt() call."""
+
+    quilt: np.ndarray  # [rows*tile_h, cols*tile_w, 3] uint8
+    run_times_s: list[float]  # per timed repetition (empty if not benchmarked)
+    config: RenderConfig
+    fused: bool  # True when the direct-to-canvas kernel pair ran
+
+    @property
+    def avg_ms(self) -> float | None:
+        if not self.run_times_s:
+            return None
+        return 1000.0 * sum(self.run_times_s) / len(self.run_times_s)
+
+    @property
+    def gigapixels_per_s(self) -> float | None:
+        """Canvas-pixel throughput of the render step."""
+        if not self.run_times_s:
+            return None
+        h, w = self.quilt.shape[:2]
+        avg = sum(self.run_times_s) / len(self.run_times_s)
+        return h * w / avg / 1e9
+
+    def save(self, path: str) -> str:
+        return writer.write_quilt(path, self.quilt)
+
+
 class Interpolator:
     """Load a light field once; render novel-view sets many times."""
 
@@ -756,6 +784,135 @@ class Interpolator:
         maps_np = _fetch(maps) if maps is not None else None
         return RenderResult(
             views=views_np, maps=maps_np, run_times_s=run_times, config=cfg
+        )
+
+    def render_quilt(
+        self,
+        trajectory: str,
+        *,
+        focus: float = 0.0,
+        focus_range: float = 0.0,
+        method: str | None = None,
+        effect: float | None = None,
+        aspect: float | None = None,
+        cols: int = 5,
+        rows: int = 9,
+        tile_size: tuple[int, int] | None = None,
+        benchmark_runs: int = 0,
+        progress: bool = True,
+    ) -> QuiltResult:
+        """Quilt-ONLY render (Looking Glass 5x9 by default).
+
+        When the geometry, method, and capacity allow it, this runs the
+        fused direct-to-canvas route (`quilt.render_fixed_quilt_padded`):
+        ONE kernel pair clamp-shifts the padded stack and blends each of
+        the cols*rows placed views straight at its tile position in the
+        canvas -- the per-view stack never materializes and only cols*rows
+        of the view_count views are ever blended (measured 3.55 ms vs
+        5.50 ms two-stage at 8x8/1080p, bench c4). Everything else --
+        STD, all-focus (focus_range > 0), resized tiles, mesh renders,
+        capacity-batched sizes, unaligned geometry -- falls back to the
+        byte-identical two-stage render + assemble path.
+
+        Reference flow: render all views, then scripts/viewsToQuilt.sh
+        montages the PNGs out of process.
+        """
+        cfg = dataclasses.replace(
+            self.config,
+            focus=focus,
+            focus_range=focus_range,
+            method=(method or self.config.method),
+            effect=(effect if effect is not None else self.config.effect),
+            aspect=(aspect if aspect is not None else self.config.aspect),
+        )
+        cfg.validate()
+        method_key = "TEN" if cfg.method in ("TEN", "TEN_WM") else "STD"
+        lf = self.lf
+        n = cols * rows
+        if cfg.view_count < n:
+            raise ValueError(
+                f"Quilt needs {n} views ({cols}x{rows}), but view_count is "
+                f"{cfg.view_count}"
+            )
+
+        fused_ok = (
+            self.mesh is None
+            and cfg.focus_range == 0.0
+            and method_key == "TEN"
+            and blend_pallas.is_available()
+            and (tile_size is None or tile_size == (lf.height, lf.width))
+            and quilt_ops.supports_fused_render(
+                lf.height, lf.width, lf.grid_size, cols, rows
+            )
+        )
+        if fused_ok:
+            start_end = geometry.parse_trajectory(trajectory, lf.cols_rows)
+            center = geometry.trajectory_center(start_end)
+            wm = geometry.quantize_weights_f16(
+                geometry.weight_matrix(
+                    start_end, lf.cols, lf.rows, cfg.effect, cfg.view_count
+                )
+            ).astype(np.float32)
+            offsets = geometry.compute_offsets(
+                lf.cols, lf.rows, lf.width, lf.height, cfg.aspect, center
+            )
+            focus_hi = cfg.focus + 1e-5 * (benchmark_runs + 1)
+            f_interval = (min(cfg.focus, focus_hi), max(cfg.focus, focus_hi))
+            px, py = blend_pallas.shift_bound(
+                offsets, f_interval, lf.height, lf.width
+            )
+            # The canvas holds exactly n views' bytes, so the fixed-render
+            # plan with view_count=n models the fused route's footprint
+            # (padded stack + shift intermediate + output).
+            plan = capacity.plan_fixed_render(
+                lf.grid_size, 3, lf.height, lf.width, n, px, py
+            )
+            fused_ok = not plan.batched
+
+        if fused_ok:
+            padded = self._padded(px, py)
+            weights = jnp.asarray(wm)
+
+            def step(i: int = 0):
+                # same benchmark-dedup epsilon as interpolate()'s fixed path
+                fo = jnp.asarray(
+                    geometry.focused_offsets(offsets, cfg.focus + 1e-5 * i)
+                )
+                return quilt_ops.render_fixed_quilt_padded(
+                    padded, weights, fo, cols=cols, rows=rows,
+                    h=lf.height, w=lf.width, px=px, py=py,
+                )
+
+            q = jax.block_until_ready(step())
+            run_times: list[float] = []
+            for i in range(benchmark_runs):
+                t0 = time.perf_counter()
+                out = step(i + 1)
+                jax.block_until_ready(out)
+                _tiny_sync(out)
+                run_times.append(time.perf_counter() - t0)
+            if benchmark_runs > 0 and progress:
+                avg = 1000 * sum(run_times) / len(run_times)
+                print(f"Average time of {benchmark_runs} runs: {avg:.3f} ms")
+            return QuiltResult(
+                quilt=np.asarray(quilt_ops.to_hwc(q)),
+                run_times_s=run_times, config=cfg, fused=True,
+            )
+
+        # Two-stage fallback: full render, then on-device assembly --
+        # byte-identical to the fused route (chip-validated, bench c4).
+        result = self.interpolate(
+            trajectory, focus=focus, focus_range=focus_range,
+            method=cfg.method, effect=cfg.effect, aspect=cfg.aspect,
+            benchmark_runs=benchmark_runs, progress=progress,
+        )
+        q = quilt_ops.assemble_quilt(
+            jnp.asarray(np.transpose(result.views, (0, 3, 1, 2))),
+            cols=cols, rows=rows, tile_size=tile_size,
+        )
+        return QuiltResult(
+            quilt=np.asarray(quilt_ops.to_hwc(q)),
+            run_times_s=result.run_times_s, config=cfg, fused=False,
         )
 
     def interpolate_batch(

@@ -86,12 +86,14 @@ def to_hwc(quilt_chw: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(quilt_chw, (1, 2, 0))
 
 
-def supports_fused_render(h: int, w: int, g: int) -> bool:
+def supports_fused_render(
+    h: int, w: int, g: int, cols: int = 5, rows: int = 9
+) -> bool:
     """Whether render_fixed_quilt_padded's fully-fused route handles this
     geometry (shift kernel + direct-to-canvas blend)."""
     from . import blend_pallas, shift_pallas
 
-    return blend_pallas.supports_quilt(h, w, g) and (
+    return blend_pallas.supports_quilt(h, w, g, cols, rows) and (
         shift_pallas.supports_padded(h, w)
     )
 

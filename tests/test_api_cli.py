@@ -388,3 +388,99 @@ def test_cli_quilt_tile_rejected_before_render(scene_dir, tmp_path, capsys):
         assert rc == 1, bad
         assert "quilt-tile" in capsys.readouterr().err
         assert not os.path.exists(out), bad
+
+
+@pytest.fixture
+def aligned_scene_dir(tmp_path, rng):
+    """A 2x2 grid whose 16x128 views satisfy the fused quilt route's
+    butt-exact canvas constraint (h % 8 == 0, w % 128 == 0)."""
+    cols, rows, h, w = 2, 2, 16, 128
+    d = tmp_path / "aligned"
+    d.mkdir()
+    tex = rng.integers(0, 256, size=(h + 8, w + 8, 3), dtype=np.uint8)
+    for c in range(cols):
+        for r in range(rows):
+            img = np.zeros((h, w, 4), np.uint8)
+            img[:, :, 3] = 255
+            img[:, :, :3] = tex[r * 2 : r * 2 + h, c * 2 : c * 2 + w]
+            codec.encode_png(str(d / f"{c:02d}_{r:02d}.png"), img)
+    return str(d)
+
+
+def test_render_quilt_fused_matches_two_stage(aligned_scene_dir, monkeypatch):
+    """The fused direct-to-canvas quilt (API surface) must be byte-identical
+    to the two-stage render-all-views + assemble route."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    interp = Interpolator(
+        aligned_scene_dir, config=RenderConfig(method="TEN", view_count=8),
+        progress=False,
+    )
+    q = interp.render_quilt(
+        "0,0,1,1", focus=0.1, cols=2, rows=3, progress=False
+    )
+    assert q.fused
+    assert q.quilt.shape == (3 * 16, 2 * 128, 3)
+    # two-stage reference: full render, host-side assembly of the first 6
+    res = interp.interpolate("0,0,1,1", focus=0.1, progress=False)
+    want = np.concatenate(
+        [
+            np.concatenate(res.views[r * 2 : r * 2 + 2], axis=1)
+            for r in range(3)
+        ],
+        axis=0,
+    )
+    np.testing.assert_array_equal(q.quilt, want)
+
+
+def test_render_quilt_falls_back(scene_dir, monkeypatch):
+    """STD method and unaligned geometry take the two-stage fallback and
+    still produce the correct canvas."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    d, _, _ = scene_dir  # 48x64 views: w % 128 != 0 -> no fused route
+    for m in ("STD", "TEN"):
+        interp = Interpolator(
+            d, config=RenderConfig(method=m, view_count=8), progress=False
+        )
+        q = interp.render_quilt(
+            "0,0,1,1", focus=0.2, cols=2, rows=3, progress=False
+        )
+        assert not q.fused
+        res = interp.interpolate("0,0,1,1", focus=0.2, progress=False)
+        want = np.concatenate(
+            [
+                np.concatenate(res.views[r * 2 : r * 2 + 2], axis=1)
+                for r in range(3)
+            ],
+            axis=0,
+        )
+        np.testing.assert_array_equal(q.quilt, want)
+
+
+def test_render_quilt_too_few_views(scene_dir):
+    d, _, _ = scene_dir
+    interp = Interpolator(
+        d, config=RenderConfig(view_count=4), progress=False
+    )
+    with pytest.raises(ValueError, match="view_count"):
+        interp.render_quilt("0,0,1,1", cols=5, rows=9, progress=False)
+
+
+def test_cli_quilt_only(aligned_scene_dir, tmp_path, capsys, monkeypatch):
+    """--quilt-only writes quilt.png and NOTHING else, through the fused
+    route when the geometry supports it (json reports fused=true)."""
+    monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
+    out = tmp_path / "qonly"
+    rc = cli.main(
+        ["-i", aligned_scene_dir, "-o", str(out), "-t", "0,0,1,1",
+         "-m", "TEN_WM", "-f", "0.1", "--quilt-only", "--json"]
+    )
+    assert rc == 0
+    import json as _json
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = _json.loads(line)
+    assert summary["files_written"] == 1
+    assert summary["fused"] is True
+    assert sorted(os.listdir(out)) == ["quilt.png"]
+    q = codec.decode(str(out / "quilt.png"))[:, :, :3]
+    assert q.shape == (9 * 16, 5 * 128, 3)
