@@ -522,6 +522,42 @@ class Interpolator:
 
         return step
 
+    # -- mesh capacity ----------------------------------------------------
+
+    def _check_mesh_allfocus(
+        self, k: int, v: int, pad, spread, spans, method_key: str, cfg,
+        radius,
+    ) -> None:
+        """Host-side PER-CHIP HBM arithmetic for mesh all-focus renders
+        (render_all_focus_sharded's slab route), raising an actionable
+        error instead of letting a shard OOM the backend -- the mesh
+        analogue of plan_allfocus_render."""
+        from .parallel import mesh as pmesh
+
+        phases = pmesh.allfocus_shard_bytes(
+            self.mesh.shape["view"], self.mesh.shape["space"],
+            self.lf.grid_size, k, 3, self.lf.height, self.lf.width, v,
+            radius=radius, steps=cfg.focus_steps, pad=pad, spans=spans,
+            spread=spread, method=method_key,
+            exact_taps=cfg.exact_focus_taps,
+        )
+        capacity.check_capacity(
+            phases["peak"], "Mesh all-focus render (per chip)",
+            hint=capacity.MESH_HINT,
+        )
+
+    def _check_mesh_fixed(self, v: int, px: int, py: int, use_pallas: bool) -> None:
+        from .parallel import mesh as pmesh
+
+        capacity.check_capacity(
+            pmesh.fixed_shard_bytes(
+                self.mesh.shape["view"], self.mesh.shape["space"],
+                self.lf.grid_size, 3, self.lf.height, self.lf.width, v,
+                px=px, py=py, use_pallas=use_pallas,
+            ),
+            "Mesh fixed-focus render (per chip)", hint=capacity.MESH_HINT,
+        )
+
     # -- rendering --------------------------------------------------------
 
     def interpolate(
@@ -615,10 +651,16 @@ class Interpolator:
                     ),
                 )
                 if self.mesh is None
-                # Mesh renders shard the stack by rows instead of batching;
-                # a plan raising here would reject workloads the mesh fits.
+                # Mesh renders shard the stack by rows instead of view
+                # batching, so the single-chip plan does not apply -- but
+                # the PER-CHIP slab-route arithmetic must still fit.
                 else capacity.FixedRenderPlan(None, False, 0, 0)
             )
+            if self.mesh is not None:
+                self._check_mesh_allfocus(
+                    len(ids), cfg.view_count, pad, spread, spans,
+                    method_key, cfg, radius,
+                )
             if plan.batched:
                 step = self._allfocus_view_batched_step(
                     plan, wm, offsets_j, ids, cfg,
@@ -698,6 +740,9 @@ class Interpolator:
                     px, py = blend_pallas.shift_bound(
                         offsets, f_interval, lf.height, lf.width
                     )
+                    self._check_mesh_fixed(
+                        cfg.view_count, px, py, use_pallas=True
+                    )
                     padded = pmesh.replicate(self.mesh, self._padded(px, py))
 
                     def step(i: int = 0):
@@ -707,6 +752,9 @@ class Interpolator:
                             h=lf.height, w=lf.width, px=px, py=py,
                         )
                 else:
+                    self._check_mesh_fixed(
+                        cfg.view_count, 0, 0, use_pallas=False
+                    )
 
                     def step(i: int = 0):
                         return pmesh.render_fixed_sharded(
@@ -1055,6 +1103,10 @@ class Interpolator:
                 if self.mesh is not None:
                     from .parallel import mesh as pmesh
 
+                    self._check_mesh_allfocus(
+                        len(ids), big_np.shape[0], pad, spread, spans,
+                        method_key, cfg, radius,
+                    )
                     views, maps = pmesh.render_all_focus_sharded(
                         self.mesh, self._device_images(),
                         pmesh.shard_weights(self.mesh, big), offsets_j,
@@ -1110,12 +1162,18 @@ class Interpolator:
                     px, py = blend_pallas.shift_bound(
                         offsets, cfg.focus, lf.height, lf.width
                     )
+                    self._check_mesh_fixed(
+                        big_np.shape[0], px, py, use_pallas=True
+                    )
                     padded = pmesh.replicate(self.mesh, self._padded(px, py))
                     views = pmesh.render_fixed_sharded_pallas(
                         self.mesh, padded, big_sharded, fo,
                         h=lf.height, w=lf.width, px=px, py=py,
                     )
                 else:
+                    self._check_mesh_fixed(
+                        big_np.shape[0], 0, 0, use_pallas=False
+                    )
                     views = pmesh.render_fixed_sharded(
                         self.mesh, self._device_images(), big_sharded, fo,
                     )

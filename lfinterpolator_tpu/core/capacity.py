@@ -368,21 +368,40 @@ def plan_allfocus_render(
     raise ValueError(_infeasible_msg())
 
 
-def check_capacity(resident_bytes: int, what: str, *, budget: int | None = None) -> None:
+def check_capacity(
+    resident_bytes: int, what: str, *,
+    budget: int | None = None, hint: str | None = None,
+) -> None:
     """Raise before any device allocation when `resident_bytes` cannot fit.
 
     A deliberately LOWER-bound guard for pipelines without a batched
-    fallback (all-focus, streaming): it only trips on arithmetic certainty,
-    never on an estimate of transient XLA scratch.
+    fallback (all-focus, streaming, mesh shards): it only trips on
+    arithmetic certainty, never on an estimate of transient XLA scratch.
+    `hint` overrides the default remediation advice (mesh renders must not
+    be told to use a mesh).
     """
     b = (budget if budget is not None else device_hbm_bytes())
     b_eff = b - _headroom(b)
     if resident_bytes > b_eff:
-        gib = 2.0**30
-        raise ValueError(
-            f"{what} needs at least {resident_bytes / gib:.2f} GiB of device "
-            f"memory against a {b_eff / gib:.2f} GiB budget. Render with a "
-            f"multi-chip mesh (Interpolator(mesh=...)), use "
-            f"Interpolator.interpolate (which batches views automatically), "
-            f"or reduce the resolution/grid."
+        unit, div = (
+            ("GiB", 2.0**30) if max(resident_bytes, b_eff) >= 2**30
+            else ("MiB", 2.0**20)
         )
+        hint = hint or (
+            "Render with a multi-chip mesh (Interpolator(mesh=...)), use "
+            "Interpolator.interpolate (which batches views automatically), "
+            "or reduce the resolution/grid."
+        )
+        raise ValueError(
+            f"{what} needs at least {resident_bytes / div:.2f} {unit} of "
+            f"device memory against a {b_eff / div:.2f} {unit} budget. {hint}"
+        )
+
+
+#: Remediation advice for PER-CHIP mesh-shard arithmetic overruns.
+MESH_HINT = (
+    "Add chips along the mesh's 'space' axis (row sharding divides every "
+    "per-shard operand), shrink the replicated stack (fewer grid images or "
+    "lower resolution), or render single-chip via Interpolator.interpolate "
+    "(which batches views and row-blocks automatically)."
+)
