@@ -561,6 +561,60 @@ def bench_c8_4k():
     )
 
 
+def bench_c3_occ():
+    # c3 on the parallax-OCCLUSION scene (utils/scenes.py): foreground
+    # occluders at distinct disparities over a background plane, so the
+    # estimated maps carry occlusion argmin noise instead of clean locked
+    # bands. Quantifies the content-sensitive presence-driven stages (the
+    # TEN fused blend's level restriction, the STD 256-byte presence scan)
+    # on the map class real captured scenes produce -- the band scenes ran
+    # them on their best case. Both methods timed; TEN is the metric.
+    cols = rows = 4
+    h, w, v = 1080, 1920, 64
+    start_end, wm, offsets, _ = _setup(cols, rows, h, w, v)
+    from lfinterpolator_tpu.utils.scenes import (
+        make_occlusion_scene, occlusion_foci,
+    )
+
+    imgs = make_occlusion_scene(
+        cols, rows, h, w, plane_foci=occlusion_foci(0.1, 0.3, 32), seed=7
+    )
+    planar = jax.device_put(jnp.asarray(
+        np.ascontiguousarray(imgs[..., :3].transpose(0, 3, 1, 2))
+    ))
+    del imgs
+    ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, 16))
+    radius = geometry.block_radius(w, h)
+    frad = (radius[0] // 10, radius[1] // 10)
+    pad = focus_ops.shift_pad_bound(offsets, 0.1, 0.3, radius, h, w)
+    from lfinterpolator_tpu.ops import allfocus_pallas, estimate_pallas
+
+    spread = allfocus_pallas.spread_bound(offsets, 0.1, 0.3)
+    spans = estimate_pallas.chunk_spans(offsets, 0.1, 0.3, 32, 4)
+    weights = jnp.asarray(wm)
+    offj = jnp.asarray(offsets)
+
+    def step_m(method):
+        def step(i):
+            return pipeline.render_all_focus(
+                planar, weights, offj,
+                jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
+                method=method, radius=radius, filter_radius=frad, steps=32,
+                pad=pad, spread=spread if method == "TEN" else None,
+                spans=spans,
+            )
+        return step
+
+    per_ten = _throughput(step_m("TEN"), max(4, RUNS // 8))
+    per_std = _throughput(step_m("STD"), max(3, RUNS // 16))
+    gps = v * h * w / per_ten / 1e9
+    _emit(
+        f"4x4-grid 1080p all-in-focus on the parallax-occlusion scene: "
+        f"TEN {per_ten*1000:.0f} ms, STD {per_std*1000:.0f} ms",
+        gps, "GP/s", gps / BASELINE_GPS,
+    )
+
+
 def bench_c4():
     # 45-view 5x9 quilt serving (Looking Glass): ONE fused kernel pair --
     # clamp-shift + blend straight into the quilt canvas (blend_quilt),
@@ -742,6 +796,7 @@ CONFIGS = {
     "c3_allfocus_1080": bench_c3,
     "c3_fast_allfocus_1080": bench_c3_fast,
     "c3_pyramid_allfocus_1080": bench_c3_pyramid,
+    "c3_occlusion_1080": bench_c3_occ,
     "c4_quilt_1080": bench_c4,
     "c5_video_4k": bench_c5,
     "c6_serving_batch": bench_c6,

@@ -40,6 +40,14 @@ def main() -> int:
     p.add_argument("--size", default="192x256")
     p.add_argument("--grid", default="6x6")
     p.add_argument("--threshold-db", type=float, default=45.0)
+    p.add_argument(
+        "--scene", choices=("plane", "occlusion"), default="plane",
+        help="'plane': textured plane with per-camera disparity; "
+             "'occlusion': parallax-occlusion scene (foreground occluders "
+             "at distinct disparities over a background plane, "
+             "utils/scenes.py) -- the content class the reference's real "
+             "captured scenes exercise",
+    )
     args = p.parse_args()
     h, w = (int(x) for x in args.size.lower().split("x"))
     cols, rows = (int(x) for x in args.grid.lower().split("x"))
@@ -52,7 +60,18 @@ def main() -> int:
     from lfinterpolator_tpu.utils import metrics
 
     rng = np.random.default_rng(99)
-    images = make_scene(rng, cols, rows, h, w)
+    if args.scene == "occlusion":
+        from lfinterpolator_tpu.utils.scenes import (
+            make_occlusion_scene, occlusion_foci,
+        )
+
+        # layer foci on the gate sweep's candidate grid (focus/frange below)
+        images = make_occlusion_scene(
+            cols, rows, h, w, plane_foci=occlusion_foci(0.1, 0.4, 32),
+            seed=99,
+        )
+    else:
+        images = make_scene(rng, cols, rows, h, w)
     v = 16
     se = np.array([0.0, 0.0, cols - 1.0, rows - 1.0], np.float32)
     wm = geometry.quantize_weights_f16(
