@@ -501,13 +501,12 @@ def bench_c8():
     )
 
 
-def bench_c8_refresh():
+def _refresh_allfocus(cols, rows, h, w, K, label):
     # Streaming all-focus with --map-refresh 8 (StreamingRenderer's
     # temporal map reuse): estimate every 8th frame, blend every frame
     # with the latest maps. Same shapes/engines as c8; the amortized
     # per-frame cost is blend + estimate/8.
-    cols = rows = 8
-    h, w, K, v, steps, N = 1080, 1920, 32, 64, 32, 8
+    v, steps, N = 64, 32, 8
     start_end, wm, offsets, _ = _setup(cols, rows, h, w, v)
     planar = _structured_scene(cols, rows, h, w)
     ids = jnp.asarray(geometry.select_focus_views(start_end, cols, rows, K))
@@ -543,11 +542,19 @@ def bench_c8_refresh():
     runs = max(2 * N, RUNS // 2)
     per = _throughput(step, runs)
     _emit(
-        f"8x8-grid 1080p streaming all-focus, --map-refresh {N} "
+        f"{label} streaming all-focus, --map-refresh {N} "
         f"({per*1000:.0f} ms/frame amortized)",
         1.0 / per, "frames/s",
         (v * h * w / per / 1e9) / BASELINE_GPS,
     )
+
+
+def bench_c8_refresh():
+    _refresh_allfocus(8, 8, 1080, 1920, 32, "8x8-grid 1080p")
+
+
+def bench_c8_refresh_4k():
+    _refresh_allfocus(4, 4, 2160, 3840, 16, "4x4-grid 4K")
 
 
 def bench_c8_4k():
@@ -804,6 +811,7 @@ CONFIGS = {
     "c7_tol_serving_allfocus": bench_c7_tol,
     "c8_stream_allfocus_1080": bench_c8,
     "c8_refresh_allfocus_1080": bench_c8_refresh,
+    "c8_refresh_allfocus_4k": bench_c8_refresh_4k,
     "c8_stream_allfocus_4k": bench_c8_4k,
 }
 

@@ -166,6 +166,13 @@ class StreamingRenderer:
         # one-shot >HBM outputs, or a mesh). An on-device OOM discovered at
         # alloc time can wedge a tunneled backend for hours, so reject
         # arithmetically-certain oversubscription before any device work.
+        # DELIBERATELY no row-blocked streaming arm (closed round 5, see
+        # PARITY.md "Streaming >HBM"): a >HBM stream frame is dominated by
+        # its own per-frame stack UPLOAD (8K: 5.93 GiB/frame -- ~196 s at
+        # the measured 31 MB/s tunnel vs 15.8 s device phases), and fitting
+        # it would force prefetch=0 + drop arms, destroying the
+        # upload/render overlap that defines this pipeline. One-shot >HBM
+        # renders take Interpolator's batched/row-blocked arms instead.
         g = cols * rows
         h8, w128 = -(-height // 8) * 8, -(-width // 128) * 128
         in_b = g * 3 * height * width

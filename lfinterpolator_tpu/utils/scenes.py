@@ -44,6 +44,7 @@ def make_occlusion_scene(
     plane_foci: tuple[float, ...] | None = None,
     n_occluders: tuple[int, ...] = (4, 3),
     seed: int = 7,
+    occluder_shift: tuple[float, float] = (0.0, 0.0),
 ) -> np.ndarray:
     """Parallax-occlusion light field -> [cols*rows, h, w, 4] uint8.
 
@@ -54,6 +55,12 @@ def make_occlusion_scene(
     f * w/cols px per grid cell in x, f * w/rows in y, aspect 1), the same
     mapping `_structured_scene` uses, so the layers land inside the swept
     focus window. Pure seeded numpy: the CPU oracle rebuilds it exactly.
+
+    `occluder_shift` = (dy, dx) px added to every occluder center: a fixed
+    seed plus a per-frame shift animates the occluders drifting over the
+    background -- the DEPTH STRUCTURE changes frame to frame, the case that
+    stresses `--map-refresh`'s stale maps (a pure camera pan under a static
+    depth map would not).
     """
     if plane_foci is None:
         plane_foci = occlusion_foci()
@@ -78,8 +85,8 @@ def make_occlusion_scene(
     for li in range(1, len(plane_foci)):
         mask = np.zeros((hc, wc), bool)
         for j in range(n_occluders[li - 1]):
-            cy = m + int(rng.integers(0, h))
-            cx = m + int(rng.integers(0, w))
+            cy = m + int(rng.integers(0, h)) + int(round(occluder_shift[0]))
+            cx = m + int(rng.integers(0, w)) + int(round(occluder_shift[1]))
             ry_ = int(rng.integers(h // 10, h // 6 + 1))
             rx_ = int(rng.integers(h // 10, h // 5 + 1))
             if (li + j) % 2 == 0:  # rectangle

@@ -74,6 +74,7 @@ def test_matches_quantized_xla(case, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.full
 def test_pipeline_ten_uses_kernel_and_matches(rng):
     """Full pipeline with spread= must equal the pipeline without it."""
     g_cols = g_rows = 4
@@ -115,6 +116,7 @@ def test_pipeline_ten_uses_kernel_and_matches(rng):
     np.testing.assert_array_equal(np.asarray(views_ker), np.asarray(views_ref))
 
 
+@pytest.mark.full
 def test_arbitrary_byte_map_256_levels_matches_xla(rng):
     """The kernel generalizes to arbitrary-byte maps via the full 256-byte
     level set (blend_xla.byte_levels) and must equal the XLA all_bytes scan
@@ -234,6 +236,7 @@ def test_row_blocks_match_full_frame(rng):
     np.testing.assert_array_equal(np.concatenate(blocks, axis=2), full)
 
 
+@pytest.mark.full
 def test_sharded_pipeline_uses_kernel_and_matches(rng):
     """Mesh all-focus with spread= must equal the mesh render without it."""
     import jax

@@ -245,6 +245,7 @@ def test_interpolate_batch_mixed_centers_matches_individual(scene_dir):
         np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
 
 
+@pytest.mark.full
 def test_interpolate_batch_allfocus_mixed_centers(scene_dir, monkeypatch):
     """All-focus batch across TWO center groups: each group gets its own
     estimate/maps; every entry (views AND maps) equals its solo run."""

@@ -63,18 +63,22 @@ def test_fused_estimate_negative_focus(rng):
     _compare(rng, 4, 4, 64, 384, 8, 8, -0.3, 0.5, (4, 2))
 
 
+@pytest.mark.full
 def test_fused_estimate_odd_view_count(rng):
     _compare(rng, 4, 4, 64, 384, 7, 8, 0.1, 0.4, (4, 2))
 
 
+@pytest.mark.full
 def test_fused_estimate_big_radius(rng):
     _compare(rng, 4, 4, 96, 512, 8, 16, 0.0, 0.6, (10, 6))
 
 
+@pytest.mark.full
 def test_fused_estimate_row_block(rng):
     _compare(rng, 4, 4, 64, 384, 8, 8, 0.1, 0.4, (4, 2), row=(24, 32))
 
 
+@pytest.mark.full
 def test_fused_estimate_unaligned_sizes(rng):
     _compare(rng, 4, 4, 52, 300, 8, 8, 0.1, 0.4, (4, 2))
 
@@ -93,6 +97,7 @@ def _assert_overshoot_cfg(rng, h, exact):
     assert cfg is not None and h8 % cfg[0], (h8, cfg)
 
 
+@pytest.mark.full
 def test_fused_estimate_overshoot_bands(rng):
     # 136 = 8*17: every large tb overshoots; the picker accepts <= h8/8
     # waste rows and _run slices them off (see _cfg_candidates)
@@ -176,6 +181,7 @@ def _pyramid_setup(rng, h=96, w=512, K=8, steps=8, focus=0.0, frange=0.21):
             focus, frange, steps, h, w, K)
 
 
+@pytest.mark.full
 def test_pyramid_full_refine_equals_exact(rng):
     """refine >= steps makes every candidate present -> the pyramid refine
     pass must equal the plain exact fused sweep bit for bit (the
@@ -534,6 +540,7 @@ def test_lane_chunked_grids_match_xla(rng, monkeypatch):
             )
 
 
+@pytest.mark.full
 def test_pyramid_through_pipeline_jit(rng):
     """Regression: pipeline.compute_focus_maps must declare `pyramid`
     static -- round 4's first chip run of the --focus-pyramid bench hit
@@ -559,6 +566,7 @@ def test_pyramid_through_pipeline_jit(rng):
     np.testing.assert_array_equal(np.asarray(maps[0]), np.asarray(want))
 
 
+@pytest.mark.full
 def test_pyramid_through_render_all_focus_jit(rng):
     """Same regression one level up: render_all_focus is ALSO jitted and
     must declare `pyramid` static (the CLI/streaming entry; the first fix

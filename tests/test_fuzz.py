@@ -211,6 +211,7 @@ def test_allfocus_kernel_random_config(seed, rng, monkeypatch):
     "seed",
     [CASES[0]] + [pytest.param(s, marks=pytest.mark.full) for s in CASES[1:4]],
 )
+@pytest.mark.full
 def test_estimate_kernels_random_config(seed, rng, monkeypatch):
     """Both fused estimate kernels (exact + fast tap rule) equal their XLA
     paths bit for bit on random supported geometries."""

@@ -6,6 +6,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -20,6 +21,7 @@ def test_entry_compiles_and_runs():
     assert out.dtype == np.uint8
 
 
+@pytest.mark.full
 def test_dryrun_multichip_subprocess():
     """Run exactly as the driver does: fresh process, XLA_FLAGS only."""
     env = dict(

@@ -321,6 +321,7 @@ def test_interpolate_batch_mesh_uses_pallas(devices, tmp_path, small_lf, monkeyp
         np.testing.assert_array_equal(res.views, solo.views, err_msg=t)
 
 
+@pytest.mark.full
 def test_mesh_allfocus_fused_slab_matches_unsharded(devices, monkeypatch):
     """Mesh all-focus at a geometry that routes the FUSED estimate and
     FUSED allFocus blend per shard (w=256, h_local=32): the round-5 slab

@@ -118,3 +118,27 @@ def test_timer_sync():
         x = t.sync(jnp.arange(10) * 2)
     assert t.elapsed_s >= 0
     assert int(x.sum()) == 90
+
+
+@pytest.mark.full
+def test_map_refresh_quality_harness(tmp_path):
+    """The --map-refresh temporal-quality harness runs end-to-end and
+    reports stale-frame dB for each refresh interval (strict JSON even
+    when stale frames are bit-identical)."""
+    import json
+    import subprocess
+
+    out = subprocess.run(
+        [
+            sys.executable, f"{REPO}/scripts/map_refresh_quality.py",
+            "--size", "48x64", "--grid", "4x4", "--frames", "6",
+            "--speed", "2", "--refresh", "3", "--steps", "8",
+        ],
+        capture_output=True, text=True,
+        env=dict(ENV, LFI_PALLAS_INTERPRET="1"), timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    r = summary["refresh"]["3"]
+    assert r["stale_frames"] == 4
+    assert r["min_db"] > 10
