@@ -62,10 +62,14 @@ class RenderConfig:
     # Streaming-only (cli --map-refresh): re-estimate the focus maps every
     # N frames; frames in between blend with the most recent maps. The
     # exact estimate is 82-84% of every streaming all-focus frame
-    # (measured, c8), and video depth changes slowly, so N=4-8 multiplies
-    # streaming fps by ~3-4x. APPROXIMATE for N > 1 (a documented video
-    # trade); 1 = per-frame estimation, the reference's per-run flow
-    # (src/interpolator.cu:261-266). Ignored outside StreamingRenderer.
+    # (measured, c8); N=8 measured 3.43x streaming fps at 8x8/1080p
+    # (3.10 -> 10.62 fps, bench c8_refresh_allfocus_1080). APPROXIMATE for
+    # N > 1: stale maps cost dB proportional to DEPTH motion
+    # (scripts/map_refresh_quality.py -- N=4/8 mean 29.9/27.7 dB on a
+    # 96x128 scene with occluders drifting 2 px/frame, 32.6/31.3 dB at
+    # 0.5 px/frame; refresh frames are bit-exact). 1 = per-frame
+    # estimation, the reference's per-run flow (src/interpolator.cu:
+    # 261-266). Ignored outside StreamingRenderer.
     focus_map_refresh: int = 1
     # (Kernel chunk sizes are chosen by ops.blend_pallas._auto_chunk from the
     # grid size, resolution, and view count -- they are a VMEM-budget
