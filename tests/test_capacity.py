@@ -268,6 +268,7 @@ def test_view_batched_allfocus_matches_unbatched(lf, monkeypatch, method):
     assert len(out.run_times_s) == 1
 
 
+@pytest.mark.full
 def test_view_batched_interpolate_batch_allfocus(lf, monkeypatch):
     """interpolate_batch with focus_range: the group's stacked all-focus
     pass falls back to view batches under pressure -- byte-identical to the

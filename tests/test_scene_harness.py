@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from lfinterpolator_tpu.io import codec
 
@@ -12,6 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
 
 
+@pytest.mark.full
 def test_focus_map_compare_harness(tmp_path, rng):
     # Two of the canonical scenes, tiny synthetic 6x6 grids (the harness's
     # focus search needs >=32 images by default; it runs with defaults, so
@@ -47,6 +49,7 @@ def test_focus_map_compare_harness(tmp_path, rng):
         assert a.shape == b.shape == (64, 80, 4)
 
 
+@pytest.mark.full
 def test_render_video_script(tmp_path, rng):
     root = tmp_path / "video"
     for f in range(3):
