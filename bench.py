@@ -607,7 +607,7 @@ def bench_c3_occ():
                 planar, weights, offj,
                 jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
                 method=method, radius=radius, filter_radius=frad, steps=32,
-                pad=pad, spread=spread if method == "TEN" else None,
+                pad=pad, spread=spread,
                 spans=spans,
             )
         return step

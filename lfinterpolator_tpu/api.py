@@ -504,6 +504,7 @@ class Interpolator:
                 selected = pipeline.select_allfocus_pretiled(
                     tiles, offsets_j, maps, f_i, fr,
                     steps=cfg.focus_steps, spread=spread, px=px, h=h, w=w,
+                    method=method_key,
                 )
                 del tiles
             else:

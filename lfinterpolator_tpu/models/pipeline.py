@@ -90,11 +90,16 @@ def allfocus_uses_fused_blend(
     method: str, h: int, w: int, spread: int | None
 ) -> bool:
     """Whether blend_all_focus routes this config through the fused Pallas
-    allFocus kernel (TEN only; STD stays on the XLA 256-byte scan, measured
-    faster on dense-byte filtered maps -- see the STD branch comment).
-    Shared with capacity planning and the view-batched path so the plan's
-    arithmetic always matches the engine that actually runs."""
-    if method == "STD" or spread is None:
+    allFocus kernel. BOTH methods since round 5: STD runs the kernel's
+    256-byte-level mode on the filtered map (byte_levels), measured 3.4-5x
+    the XLA presence scan on realistic dense-byte maps (367 -> 101 ms at
+    4x4/1080p with 241 distinct bytes, 1597 -> 319 at 8x8/221 bytes) and
+    bit-identical; the round-2 measurement that kept STD on XLA (519 vs
+    156 ms) predates the locked-plane scene fix and the round-3 kernel
+    op reductions and does not reproduce. Shared with capacity planning
+    and the view-batched path so the plan's arithmetic always matches the
+    engine that actually runs."""
+    if spread is None:
         return False
     from ..ops import allfocus_pallas
 
@@ -127,21 +132,19 @@ def select_allfocus(
     select + blend functions, split at the same seam)."""
     g, c, h, w = images.shape
     map0, map1 = maps[0], maps[1]
-    if method == "STD":
-        return blend_xla.allfocus_selected(
-            images, offsets, map1, focus, focus_range,
-            steps=steps, pad=pad, all_bytes=True,
-        )
+    fmap = map1 if method == "STD" else map0  # the reference's asymmetry
     if allfocus_uses_fused_blend(method, h, w, spread):
         from ..ops import allfocus_pallas
 
         return allfocus_pallas.select_allfocus_quantized(
-            images, offsets, map0, focus, focus_range,
+            images, offsets, fmap, focus, focus_range,
             steps=steps, spread=spread,
             px=pad[0] if pad is not None else max(w, 1),
+            all_bytes=(method == "STD"),
         )
     return blend_xla.allfocus_selected(
-        images, offsets, map0, focus, focus_range, steps=steps, pad=pad,
+        images, offsets, fmap, focus, focus_range, steps=steps, pad=pad,
+        all_bytes=(method == "STD"),
     )
 
 
@@ -283,7 +286,7 @@ def select_allfocus_rows(
     )
 
 
-@partial(jax.jit, static_argnames=("steps", "spread", "px", "h", "w"))
+@partial(jax.jit, static_argnames=("steps", "spread", "px", "h", "w", "method"))
 def select_allfocus_pretiled(
     tiled: jnp.ndarray,  # [G, C, H8, W128] uint8 (shift_pallas.pad_to_tiles)
     offsets: jnp.ndarray,  # [G, 2] float32 (x, y)
@@ -296,18 +299,22 @@ def select_allfocus_pretiled(
     px: int,
     h: int,
     w: int,
+    method: str = "TEN",
 ) -> jnp.ndarray:
     """select_allfocus's fused-kernel branch over an EXISTING tiled stack.
 
     Memory-pressured view-batched renders (api.py) build the tiled copy,
     drop the raw device stack, then select here -- the raw stack and the
-    x4 output never coexist. TEN/raw-map (maps[0]) semantics only, matching
-    allfocus_uses_fused_blend."""
+    x4 output never coexist. Map/level-set choice follows the reference's
+    method asymmetry like select_allfocus (TEN: raw map + `steps` levels;
+    STD: filtered map + all 256 byte levels)."""
     from ..ops import allfocus_pallas
 
+    fmap = maps[1] if method == "STD" else maps[0]
     return allfocus_pallas.select_allfocus_quantized(
-        tiled, offsets, maps[0], focus, focus_range,
+        tiled, offsets, fmap, focus, focus_range,
         steps=steps, spread=spread, px=px, pre_tiled=True, h=h, w=w,
+        all_bytes=(method == "STD"),
     )
 
 
@@ -348,16 +355,23 @@ def blend_all_focus(
     """
     map0, map1 = maps[0], maps[1]
     g, c, h, w = images.shape
-    use_kernel = allfocus_uses_fused_blend("TEN", h, w, spread)
+    use_kernel = allfocus_uses_fused_blend(method, h, w, spread)
     if method == "STD":
-        # The filtered map has arbitrary bytes; the 256-byte-level scan is
-        # exact for any map and skips absent bytes at runtime (the general
-        # gather fallback is ~5-25x slower on TPU). The fused kernel also
-        # handles 256 levels (blend_xla.byte_levels) and is bit-identical,
-        # but measured SLOWER here: filtered maps have ~100 distinct bytes
-        # per band, and the kernel's per-level VPU cost (~2x the XLA scan's
-        # fused slice+select) only pays off at the TEN path's <= `steps`
-        # levels (519 vs 156 ms at 8x8/1080p on a dense-byte map).
+        # The filtered map has arbitrary bytes; both engines scan all 256
+        # byte values, exact for any map, absent bytes skipped at runtime
+        # (the general gather fallback is ~5-25x slower on TPU). Round 5:
+        # the fused kernel's 256-level mode replaced the XLA scan where
+        # supported -- on realistic dense-byte filtered maps it measured
+        # 3.4-5x faster (see allfocus_uses_fused_blend), bit-identical.
+        if use_kernel:
+            from ..ops import allfocus_pallas
+
+            return allfocus_pallas.render_allfocus_quantized_fused(
+                images, weights, offsets, map1, focus, focus_range,
+                steps=steps, spread=spread,
+                px=pad[0] if pad is not None else max(w, 1),
+                all_bytes=True,
+            )
         if pad is not None:
             return blend_xla.render_allfocus_quantized(
                 images, weights, offsets, map1, focus, focus_range,

@@ -413,15 +413,30 @@ def render_allfocus_quantized_fused(
     px: int,
     row_start: jnp.ndarray | int = 0,
     row_count: int | None = None,
+    all_bytes: bool = False,
 ) -> jnp.ndarray:
     """The fused-kernel drop-in for blend_xla.render_allfocus_quantized on
     raw (level-quantized) maps: derives the level set and the per-level
     fractional shifts with the shared exact expressions, then renders
     through the kernel. The single dispatch point for both the single-chip
-    pipeline and the sharded mesh path."""
+    pipeline and the sharded mesh path.
+
+    ``all_bytes=True`` scans all 256 byte values (blend_xla.byte_levels)
+    instead of the estimator's `steps` levels -- exact for ANY map, e.g.
+    the box-filtered one the STD method reads (src/kernels.cu:326). On
+    realistic dense-byte filtered maps the kernel's presence table skips
+    absent (band, level) work just like the XLA scan but without its
+    per-level dispatch overhead: measured round 5 at 1080p, 367 -> 101 ms
+    (4x4, 241 distinct bytes) and 1597 -> 319 ms (8x8, 221 bytes),
+    bit-identical."""
     from . import blend_xla
 
-    levels, f_levels = blend_xla.quantized_levels(focus, focus_range, steps)
+    if all_bytes:
+        levels, f_levels = blend_xla.byte_levels(focus, focus_range)
+    else:
+        levels, f_levels = blend_xla.quantized_levels(
+            focus, focus_range, steps
+        )
     return render_allfocus_tiled(
         images, weights, focus_map, levels,
         f_levels[:, None] * offsets[None, :, 1],
@@ -445,6 +460,7 @@ def select_allfocus_quantized(
     pre_tiled: bool = False,
     h: int | None = None,
     w: int | None = None,
+    all_bytes: bool = False,
 ) -> jnp.ndarray:
     """The weight-independent SELECT stage of render_allfocus_quantized_fused
     -> x4 [G, C, h8, w128] uint8 in the blend_tiled operand tiling.
@@ -454,10 +470,16 @@ def select_allfocus_quantized(
     stack render_allfocus_quantized_fused contracts. With `pre_tiled=True`,
     `images` is an existing pad_to_tiles output [G, C, H8, W128] and `h`/`w`
     give the true geometry -- used by memory-pressured renders that drop the
-    raw stack once the tiled copy exists."""
+    raw stack once the tiled copy exists. `all_bytes` as in
+    render_allfocus_quantized_fused (the STD filtered-map level set)."""
     from . import blend_xla
 
-    levels, f_levels = blend_xla.quantized_levels(focus, focus_range, steps)
+    if all_bytes:
+        levels, f_levels = blend_xla.byte_levels(focus, focus_range)
+    else:
+        levels, f_levels = blend_xla.quantized_levels(
+            focus, focus_range, steps
+        )
     return _select_tiled(
         images, focus_map, levels,
         f_levels[:, None] * offsets[None, :, 1],

@@ -273,7 +273,7 @@ def allfocus_shard_bytes(
         c * hl8 * w128 + (c * h_local * w if (hl8, w128) != (h_local, w) else 0)
     )
     use_fused_blend = False
-    if method != "STD" and spread is not None:
+    if spread is not None:
         from ..ops import allfocus_pallas, blend_pallas
 
         use_fused_blend = blend_pallas.is_available() and (
@@ -395,7 +395,7 @@ def render_all_focus_sharded(
     )
     px1, py1 = max(int(pad[0]), 1), max(int(pad[1]), 1)
     use_fused_blend = False
-    if method != "STD" and spread is not None:
+    if spread is not None:
         from ..ops import allfocus_pallas, blend_pallas
 
         use_fused_blend = blend_pallas.is_available() and (
@@ -427,11 +427,15 @@ def render_all_focus_sharded(
 
             # fused allFocus kernel per shard: the select kernel DMAs row
             # windows straight from the (full-height) tiled stack and
-            # emits only this shard's rows
+            # emits only this shard's rows. Map/level set follow the
+            # reference's method asymmetry (STD: filtered map, 256 byte
+            # levels; TEN: raw map, `steps` levels).
             views_l = allfocus_pallas.render_allfocus_quantized_fused(
-                images_l, weights_l, offsets_l, map0_l, focus,
+                images_l, weights_l, offsets_l,
+                map1_l if method == "STD" else map0_l, focus,
                 focus_range, steps=steps, spread=spread, px=pad[0],
                 row_start=row0, row_count=h_local,
+                all_bytes=(method == "STD"),
             )
         else:
             # XLA select in slab mode + the shared MXU contraction --

@@ -124,7 +124,7 @@ def main() -> int:
             planar, weights, offj,
             jnp.float32(focus), jnp.float32(frange), jnp.asarray(ids),
             method=method, radius=radius, filter_radius=frad, steps=32, pad=pad,
-            spread=spread if method == "TEN" else None, spans=spans,
+            spread=spread, spans=spans,
         )
         got = np.asarray(blend_xla.from_planar(views))
         results[f"allfocus/{method}"] = metrics.psnr(got, want)
@@ -138,7 +138,7 @@ def main() -> int:
             jnp.float32(focus), jnp.float32(frange), jnp.asarray(ids),
             method=method, radius=radius, filter_radius=frad, steps=32,
             pad=pad, exact_taps=False,
-            spread=spread if method == "TEN" else None, spans=spans,
+            spread=spread, spans=spans,
         )
         got = np.asarray(blend_xla.from_planar(views))
         results[f"allfocus-fast/{method}"] = metrics.psnr(got, want)

@@ -280,3 +280,57 @@ def test_sharded_pipeline_uses_kernel_and_matches(rng):
     )
     np.testing.assert_array_equal(np.asarray(maps_ker), np.asarray(maps_ref))
     np.testing.assert_array_equal(np.asarray(views_ker), np.asarray(views_ref))
+
+
+@pytest.mark.full
+def test_pipeline_std_fused_256_matches_xla(rng):
+    """Round 5: the STD method routes the fused kernel's 256-byte-level
+    mode on the FILTERED map when supported (measured 3.4-5x the XLA scan
+    on dense-byte maps). spread= vs spread=None pipelines must be
+    bit-identical, and the select/blend seam split must match too."""
+    g_cols = g_rows = 4
+    h, w, steps = 64, 256, 32
+    focus, frange = 0.05, 0.2
+    g = g_cols * g_rows
+    images = jnp.asarray(rng.integers(0, 256, (g, 3, h, w), dtype=np.uint8))
+    se = np.array([0.0, 0.0, 3.0, 3.0], np.float32)
+    weights = jnp.asarray(
+        geometry.quantize_weights_f16(
+            geometry.weight_matrix(se, g_cols, g_rows, 3.0, 8)
+        ).astype(np.float32)
+    )
+    offsets = jnp.asarray(
+        geometry.compute_offsets(
+            g_cols, g_rows, w, h, 1.0, geometry.trajectory_center(se)
+        )
+    )
+    ids = jnp.asarray(geometry.select_focus_views(se, g_cols, g_rows, g))
+    radius = geometry.block_radius(w, h)
+    # nonzero filter radius: the STD path reads the FILTERED map, whose
+    # bytes are arbitrary -- the whole point of the 256-level mode
+    frad = (2, 2)
+    pad = focus_ops.shift_pad_bound(offsets, focus, frange, radius, h, w)
+    spread = allfocus_pallas.spread_bound(offsets, focus, frange, bucket=8)
+    assert allfocus_pallas.supports(h, w, spread)
+    kwargs = dict(
+        method="STD", radius=radius, filter_radius=frad, steps=steps, pad=pad,
+    )
+    views_ref, maps_ref = pipeline.render_all_focus(
+        images, weights, offsets, jnp.float32(focus), jnp.float32(frange),
+        ids, **kwargs,
+    )
+    assert len(np.unique(np.asarray(maps_ref[1]))) > steps  # dense bytes
+    views_ker, maps_ker = pipeline.render_all_focus(
+        images, weights, offsets, jnp.float32(focus), jnp.float32(frange),
+        ids, spread=spread, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(maps_ker), np.asarray(maps_ref))
+    np.testing.assert_array_equal(np.asarray(views_ker), np.asarray(views_ref))
+    # seam split: select (tiled x4) + blend == the fused render
+    maps = maps_ker
+    sel = pipeline.select_allfocus(
+        images, offsets, maps, jnp.float32(focus), jnp.float32(frange),
+        method="STD", steps=steps, pad=pad, spread=spread,
+    )
+    out = pipeline.blend_selected(sel, weights, tiled=True, h=h, w=w)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(views_ker))

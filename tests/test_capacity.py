@@ -297,10 +297,13 @@ def test_view_batched_interpolate_batch_allfocus(lf, monkeypatch):
 
 
 @pytest.mark.full
-def test_view_batched_allfocus_fused(rng, monkeypatch):
-    """The fused-kernel (TEN, >=128-lane) all-focus engine under a batched
+@pytest.mark.parametrize("method", ["TEN", "STD"])
+def test_view_batched_allfocus_fused(rng, monkeypatch, method):
+    """The fused-kernel (>=128-lane) all-focus engine under a batched
     plan: select_allfocus returns the tiled x4 stack and blend_selected
-    contracts it per batch -- byte-identical to the unbatched fused render."""
+    contracts it per batch -- byte-identical to the unbatched fused render.
+    Both methods since round 5 (STD runs the kernel's 256-byte-level mode
+    on the filtered map), so the batched/drop arms are pinned for each."""
     monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
     cols = rows = 3
     h, w, v = 96, 160, 64  # >= the kernel's 128-lane / spread-window minima
@@ -308,7 +311,7 @@ def test_view_batched_allfocus_fused(rng, monkeypatch):
     lf = LightField(images=images, cols=cols, rows=rows)
     # focus_map_views=4 keeps the estimate phase below the select phase so
     # the drop regime (select infeasible, drop feasible) is non-empty
-    cfg = RenderConfig(method="TEN", view_count=v, focus_map_views=4)
+    cfg = RenderConfig(method=method, view_count=v, focus_map_views=4)
     ref = Interpolator(lf, config=cfg, progress=False).interpolate(
         "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
     )
@@ -403,7 +406,11 @@ def test_view_batched_allfocus_row_blocked_estimate(rng, monkeypatch):
     block) -- byte-identical maps and views."""
     monkeypatch.setenv("LFI_PALLAS_INTERPRET", "1")
     cols = rows = 3
-    h, w, v, k = 96, 160, 8, 9
+    # w < 128 keeps the fused kernel unsupported so this test pins the XLA
+    # row-blocked arm (since round 5 STD routes fused where supported);
+    # h=144 keeps a budget window where the select fits full-frame but the
+    # estimate's padded copy must row-block
+    h, w, v, k = 144, 120, 8, 9
     images = rng.integers(0, 256, size=(cols * rows, h, w, 4), dtype=np.uint8)
     lf = LightField(images=images, cols=cols, rows=rows)
     cfg = RenderConfig(method="STD", view_count=v, focus_map_views=k)
@@ -411,7 +418,7 @@ def test_view_batched_allfocus_row_blocked_estimate(rng, monkeypatch):
         "0,0,2,2", focus=0.1, focus_range=0.2, progress=False
     )
     px, py, fused = _allfocus_plan_inputs(lf, cfg, traj="0,0,2,2")
-    assert not fused  # STD never routes through the fused kernel
+    assert not fused  # the fixture is below the fused kernel's minima
 
     def scan():
         kw = dict(px=px, py=py, fused_blend=False)
