@@ -206,6 +206,7 @@ def test_unsupported_geometry_falls_back():
     assert not allfocus_pallas.supports(64, 256, 4096)  # spread blows VMEM
 
 
+@pytest.mark.full
 def test_row_blocks_match_full_frame(rng):
     """Stacking row-block renders must equal the full-frame render."""
     g, h, w, steps, focus, frange, oamp = 5, 96, 256, 16, 0.1, 0.3, 40.0

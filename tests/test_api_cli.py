@@ -268,6 +268,7 @@ def test_interpolate_batch_allfocus_mixed_centers(scene_dir, monkeypatch):
     assert len(maps_seen) == 2  # two centers -> two distinct map sets
 
 
+@pytest.mark.full
 def test_interpolate_batch_center_tolerance(scene_dir, monkeypatch):
     """center_tolerance merges near-equal centers into ONE group (shared
     maps, first member's center); tolerance 0 keeps exact per-center
@@ -433,6 +434,7 @@ def test_render_quilt_fused_matches_two_stage(aligned_scene_dir, monkeypatch):
     np.testing.assert_array_equal(q.quilt, want)
 
 
+@pytest.mark.full
 def test_render_quilt_falls_back(scene_dir, monkeypatch):
     """STD method and unaligned geometry take the two-stage fallback and
     still produce the correct canvas."""

@@ -119,6 +119,7 @@ def test_padded_path_interval_bound(rng):
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, focus
 
 
+@pytest.mark.full
 def test_row_block_matches_full_render(rng):
     """row_start/row_count (the mesh-shard path) equals the full render's
     rows, including a non-multiple-of-8 block and a traced row_start."""

@@ -64,6 +64,7 @@ def test_fixed_focus_random_config(seed, rng):
     "seed",
     [CASES[0]] + [pytest.param(s, marks=pytest.mark.full) for s in CASES[1:5]],
 )
+@pytest.mark.full
 def test_all_focus_random_config(seed, rng):
     cols, rows, h, w, v, focus, effect, aspect, traj = _random_cfg(seed + 100)
     focus_range = abs(focus) + 0.1

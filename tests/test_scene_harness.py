@@ -111,6 +111,7 @@ def test_occlusion_scene_properties(rng):
     assert partial.mean() > 0.01, "no partially-occluded pixels = no parallax occlusion"
 
 
+@pytest.mark.full
 def test_occlusion_scene_pipeline_parity(rng, monkeypatch):
     """Exact estimate + both blends on the occlusion scene match the CPU
     oracle bit-for-bit (content must not affect parity)."""
