@@ -365,7 +365,7 @@ def bench_c3_pyramid():
     )
 
 
-def _stream_allfocus(cols, rows, h, w, K, runs):
+def _stream_allfocus(cols, rows, h, w, K, runs, method="TEN"):
     """Streaming all-focus frame loop: per-frame estimate+select+blend from
     the raw stack (StreamingRenderer's focus_range>0 path), with the
     estimate phase timed separately (synced side run) to test the
@@ -388,7 +388,7 @@ def _stream_allfocus(cols, rows, h, w, K, runs):
         return pipeline.render_all_focus(
             planar, weights, offj,
             jnp.float32(0.1 + 1e-7 * i), jnp.float32(0.3), ids,
-            method="TEN", radius=radius, filter_radius=frad, steps=steps,
+            method=method, radius=radius, filter_radius=frad, steps=steps,
             pad=pad, spread=spread, spans=spans,
         )
 
@@ -556,6 +556,23 @@ def bench_c8_refresh():
 
 def bench_c8_refresh_4k():
     _refresh_allfocus(4, 4, 2160, 3840, 16, "4x4-grid 4K")
+
+
+def bench_c8_std():
+    # Streaming all-focus with the reference's canonical STD method --
+    # newly viable at streaming rates since the round-5 fused 256-level
+    # reroute (the XLA scan made STD frames ~1.9 s at this config).
+    runs = max(4, RUNS // 10)
+    per, per_est, v = _stream_allfocus(
+        8, 8, 1080, 1920, 32, runs, method="STD"
+    )
+    _emit(
+        f"8x8-grid 1080p streaming all-focus, STD method "
+        f"({per*1000:.0f} ms/frame, estimate {per_est*1000:.0f} ms = "
+        f"{100*per_est/per:.0f}%)",
+        1.0 / per, "frames/s",
+        (v * 1080 * 1920 / per / 1e9) / BASELINE_GPS,
+    )
 
 
 def bench_c8_4k():
@@ -811,6 +828,7 @@ CONFIGS = {
     "c7_serving_allfocus": bench_c7,
     "c7_tol_serving_allfocus": bench_c7_tol,
     "c8_stream_allfocus_1080": bench_c8,
+    "c8_std_stream_allfocus_1080": bench_c8_std,
     "c8_refresh_allfocus_1080": bench_c8_refresh,
     "c8_refresh_allfocus_4k": bench_c8_refresh_4k,
     "c8_stream_allfocus_4k": bench_c8_4k,
