@@ -15,8 +15,8 @@ LFI_BENCH_CONFIG with one of: headline, c1_2x2_512, c2_4x4_1024,
 c3_allfocus_1080, c3_fast_allfocus_1080, c3_pyramid_allfocus_1080,
 c3_occlusion_1080, c4_quilt_1080, c5_video_4k, c6_serving_batch,
 c7_serving_allfocus, c7_tol_serving_allfocus, c8_stream_allfocus_1080,
-c8_refresh_allfocus_1080, c8_refresh_allfocus_4k, c8_stream_allfocus_4k,
-all.
+c8_std_stream_allfocus_1080, c8_refresh_allfocus_1080,
+c8_refresh_allfocus_4k, c8_stream_allfocus_4k, all.
 
 Timing method: N dispatches in flight with distinct shift tables per run and
 one tiny-fetch sync at the end (the production serving pattern). Repeated
